@@ -1,0 +1,95 @@
+"""Symmetric rank-k accumulation — the GRM hot kernel.
+
+Parity: Matrix::multiply(Z, 'T', Z, 'N') -> pdsyrk_ (matrix.cpp:2682),
+consumed by the GRM build kernel = Z^T Z, N = missings^T missings
+(kernel.cpp:92-109).
+
+TPU-first design: the genotype matrix arrives as (M_chunk, N) blocks of
+raw int8 dosages; standardization (d - 2p)/sqrt(2p(1-p)), missing -> 0
+(genotype.cpp:888-970) fuses into the matmul input on device, and the
+N x N Gram matrix accumulates across chunks — a lax.scan when the data
+is resident, or a host-driven feed for the streaming 1M-SNP path.  On a
+device mesh the (M, N) operand is sharded P('i', 'j') and XLA SPMD turns
+the contraction over the SNP axis into local matmuls + psum over 'i'.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def standardize_chunk(dosage_i8, mean, inv_std, dtype):
+    """GCTA standardization of an (M, N) int8 chunk: z = (d - 2p)/std.
+
+    `mean` = 2 p2 and `inv_std` are per-SNP (M,) vectors; missing (-1)
+    maps to 0 so it contributes nothing to the Gram matrix (parity:
+    genotype.cpp:943-961 where missing stays 0 after centering/scaling).
+    Returns (Z, observed) both in `dtype`.
+    """
+    d = dosage_i8.astype(dtype)
+    observed = (dosage_i8 >= 0).astype(dtype)
+    z = observed * (d - mean[:, None].astype(dtype)) * inv_std[:, None].astype(dtype)
+    return z, observed
+
+
+@partial(jax.jit, static_argnames=("accum_dtype",))
+def syrk(z, accum_dtype=jnp.float32):
+    """Z^T Z with explicit accumulation dtype (MXU-friendly)."""
+    return jax.lax.dot_general(
+        z,
+        z,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "accum_dtype"))
+def grm_update(kernel, counts, dosage_i8, mean, inv_std, compute_dtype=jnp.float32, accum_dtype=jnp.float32):
+    """One accumulation step: kernel += Z_c^T Z_c, counts += O_c^T O_c."""
+    z, observed = standardize_chunk(dosage_i8, mean, inv_std, compute_dtype)
+    kernel = kernel + jax.lax.dot_general(
+        z, z, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    ).astype(kernel.dtype)
+    counts = counts + jax.lax.dot_general(
+        observed, observed, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    ).astype(counts.dtype)
+    return kernel, counts
+
+
+class grm_accumulator:
+    """Streaming GRM builder: feed (chunk, N) dosage blocks, finalize to
+    (kernel, counts).
+
+    The host loop feeds decoded BED chunks; each `update` is one jitted
+    fused standardize+syrk step.  This is the TPU equivalent of the
+    reference's block-row BED streaming + pdsyrk accumulation
+    (genotype.cpp:639-707, kernel.cpp:92-109).
+    """
+
+    def __init__(self, n_individuals: int, dtype=jnp.float32, accum_dtype=None,
+                 compute_dtype=None, sharding: Optional[jax.sharding.Sharding] = None):
+        accum_dtype = accum_dtype or (jnp.float32 if dtype == jnp.bfloat16 else dtype)
+        self.kernel = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
+        self.counts = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
+        if sharding is not None:
+            self.kernel = jax.device_put(self.kernel, sharding)
+            self.counts = jax.device_put(self.counts, sharding)
+        self.accum_dtype = accum_dtype
+        self.compute_dtype = compute_dtype or dtype
+
+    def update(self, dosage_i8, mean, inv_std):
+        self.kernel, self.counts = grm_update(
+            self.kernel, self.counts, jnp.asarray(dosage_i8),
+            jnp.asarray(mean), jnp.asarray(inv_std),
+            compute_dtype=self.compute_dtype, accum_dtype=self.accum_dtype,
+        )
+        return self
+
+    def finalize(self):
+        return self.kernel, self.counts

@@ -1,0 +1,396 @@
+"""The symbolic covariance matrix V(theta) = sum_e c_e * g_e(theta) * M_e.
+
+Parity: covariancematrix.{h,cpp}.  The reference's `Element` = {matrix,
+block position, constant factor, variance list with transforms} and
+`Variance` = {value, group, type, effect, fixed} (covariancematrix.h:
+90-120) map onto a static element table compiled into jit-ready arrays:
+
+  powers  (E, K)  exponent of variance k in element e's coefficient
+                  (1 = nochange, 0.5 = squareRoot, 0 = absent) —
+                  covering both VarianceAttributes transforms
+                  (covariancematrix.h:100-105)
+  factors (E,)    the constant factor c_e
+  blocks  (E, 2)  trait-block placement (outcome subMatrix positions)
+
+TPU-first derivative machinery: instead of the reference's per-element
+symbolic product derivatives (computeDerivateCovariance,
+covariancematrix.cpp:652-766, 958-1143), the coefficient function
+g: R^K -> R^E is differentiated with jax.jacfwd / jax.hessian — K and E
+are tiny — and every heavy quantity (dV/dtheta_k . Py, tr(P dV),
+d2V corrections) assembles from per-element primitives via einsums.
+
+Two runtime representations of V:
+  dense     (T n, T n) for general kernels;
+  diagonal  (n, T, T) per-individual trait blocks when every kernel is
+            diagonal (eigen-rotated) — the TPU-native replacement of
+            BlockMatrix (blockmatrix.h:32-124): batched T x T solves
+            under vmap instead of a distributed block container.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ParameterType(enum.Enum):
+    """Parity: ParameterAttributes type (covariancematrix.h:107-120)."""
+
+    VARIANCE = "variance"
+    COVARIANCE = "covariance"
+    CORRELATION = "correlation"
+    STANDARD_DEVIATION = "stddev"
+    PARAMETER = "parameter"
+
+
+class EffectType(enum.Enum):
+    GENETIC = "genetic"
+    ENVIRONMENT = "environment"
+    OTHER = "other"
+
+
+class VarianceTransform(enum.Enum):
+    """Parity: nochange / squareRoot (covariancematrix.h:100-105)."""
+
+    NOCHANGE = 1.0
+    SQRT = 0.5
+
+
+@dataclasses.dataclass
+class Variance:
+    name: str
+    group: str
+    type: ParameterType
+    effect: EffectType
+    initial_value: float
+    fixed: bool = False
+    # indices of variances whose product bounds this covariance
+    # (constrainedDependingOnProductOfi, covariancematrix.h:117)
+    constrained_on_product_of: Set[int] = dataclasses.field(default_factory=set)
+
+
+@dataclasses.dataclass
+class Element:
+    """One summand of V (covariancematrix.h:90-105)."""
+
+    name: str
+    matrix_name: str
+    block: Tuple[int, int]  # trait-block placement (row, col)
+    factor: float = 1.0
+    variance_factors: List[Tuple[str, VarianceTransform]] = dataclasses.field(
+        default_factory=list
+    )
+    subcovariance_id: str = ""  # named sub-covariance (e.g. "GRM", "E")
+
+
+class CovarianceModel:
+    """Host-side builder; compiles to jit-ready arrays.
+
+    Mirrors the construction API used by REML::prepare
+    (reml.cpp:592-917): insertVarianceGroup, insertVariance,
+    insertElement, appendVarianceToElement.
+    """
+
+    def __init__(self, n: int, n_traits: int = 1, diagonal: bool = False):
+        self.n = n
+        self.n_traits = n_traits
+        self.diagonal = diagonal
+        self.matrices: Dict[str, jax.Array] = {}
+        self.variances: List[Variance] = []
+        self._variance_index: Dict[str, int] = {}
+        self.elements: List[Element] = []
+        self.group_magnitudes: Dict[str, float] = {}
+
+    # --- construction --------------------------------------------------------
+    def insert_variance_group(self, name: str, expected_magnitude: float):
+        """Parity: insertVarianceGroup (covariancematrix.cpp:131-141)."""
+        self.group_magnitudes[name] = float(expected_magnitude)
+
+    def insert_variance(
+        self,
+        name: str,
+        group: str,
+        ptype: ParameterType,
+        effect: EffectType,
+        initial_value: float,
+        constrained_on_product_of: Optional[Sequence[str]] = None,
+    ) -> int:
+        if name in self._variance_index:
+            return self._variance_index[name]
+        deps: Set[int] = set()
+        if constrained_on_product_of:
+            deps = {self._variance_index[d] for d in constrained_on_product_of}
+        idx = len(self.variances)
+        self.variances.append(
+            Variance(
+                name=name,
+                group=group,
+                type=ptype,
+                effect=effect,
+                initial_value=float(initial_value),
+                constrained_on_product_of=deps,
+            )
+        )
+        self._variance_index[name] = idx
+        return idx
+
+    def insert_matrix(self, name: str, matrix):
+        """Register a kernel matrix: (n, n) dense or (n,) diagonal."""
+        m = jnp.asarray(matrix)
+        expected = (self.n,) if self.diagonal else (self.n, self.n)
+        if m.shape != expected:
+            raise ValueError(f"matrix {name}: shape {m.shape} != {expected}")
+        self.matrices[name] = m
+
+    def insert_element(
+        self,
+        subcovariance_id: str,
+        name: str,
+        matrix_name: str,
+        block: Tuple[int, int] = (0, 0),
+        factor: float = 1.0,
+    ) -> Element:
+        if matrix_name not in self.matrices:
+            raise ValueError(f"unknown matrix {matrix_name}")
+        e = Element(
+            name=name,
+            matrix_name=matrix_name,
+            block=block,
+            factor=factor,
+            subcovariance_id=subcovariance_id,
+        )
+        self.elements.append(e)
+        return e
+
+    def append_variance_to_element(
+        self, element_name: str, variance_name: str, transform: VarianceTransform
+    ):
+        """Parity: appendVarianceToElement."""
+        if variance_name not in self._variance_index:
+            raise ValueError(f"unknown variance {variance_name}")
+        for e in self.elements:
+            if e.name == element_name:
+                e.variance_factors.append((variance_name, transform))
+                return
+        raise ValueError(f"unknown element {element_name}")
+
+    # --- accessors -----------------------------------------------------------
+    @property
+    def n_variances(self) -> int:
+        return len(self.variances)
+
+    @property
+    def n_total(self) -> int:
+        return self.n * self.n_traits
+
+    def initial_theta(self) -> np.ndarray:
+        return np.array([v.initial_value for v in self.variances], dtype=np.float64)
+
+    def variance_names(self) -> List[str]:
+        return [v.name for v in self.variances]
+
+    def subcovariance_ids(self) -> List[str]:
+        seen: List[str] = []
+        for e in self.elements:
+            if e.subcovariance_id not in seen:
+                seen.append(e.subcovariance_id)
+        return seen
+
+    def genetic_variance_indices(self) -> List[int]:
+        return [
+            i
+            for i, v in enumerate(self.variances)
+            if v.effect == EffectType.GENETIC and v.type == ParameterType.VARIANCE
+        ]
+
+    def delete_subcovariance(self, sub_id: str) -> "CovarianceModel":
+        """A copy with the named sub-covariance removed — used by reduced
+        models for LRTs (deleteCovariance, reml.cpp:1335-1460).  Variances
+        that no longer appear in any element are dropped."""
+        kept_elements = [e for e in self.elements if e.subcovariance_id != sub_id]
+        used = {vn for e in kept_elements for vn, _ in e.variance_factors}
+        model = CovarianceModel(self.n, self.n_traits, self.diagonal)
+        model.group_magnitudes = dict(self.group_magnitudes)
+        for v in self.variances:
+            if v.name in used:
+                deps = [
+                    self.variances[d].name
+                    for d in v.constrained_on_product_of
+                    if self.variances[d].name in used
+                ]
+                model.insert_variance(
+                    v.name, v.group, v.type, v.effect, v.initial_value, deps
+                )
+        for name, m in self.matrices.items():
+            if any(e.matrix_name == name for e in kept_elements):
+                model.insert_matrix(name, m)
+        for e in kept_elements:
+            ne = model.insert_element(
+                e.subcovariance_id, e.name, e.matrix_name, e.block, e.factor
+            )
+            ne.variance_factors = [
+                (vn, t) for vn, t in e.variance_factors if vn in used
+            ]
+        return model
+
+    # --- compilation ---------------------------------------------------------
+    def compile(self) -> "CompiledCovariance":
+        mat_names = sorted(self.matrices)
+        mat_index = {nm: i for i, nm in enumerate(mat_names)}
+        stack = jnp.stack([self.matrices[nm] for nm in mat_names])
+        E, K = len(self.elements), self.n_variances
+        powers = np.zeros((E, K), dtype=np.float64)
+        factors = np.zeros((E,), dtype=np.float64)
+        blocks = np.zeros((E, 2), dtype=np.int32)
+        mids = np.zeros((E,), dtype=np.int32)
+        for ei, e in enumerate(self.elements):
+            factors[ei] = e.factor
+            blocks[ei] = e.block
+            mids[ei] = mat_index[e.matrix_name]
+            for vn, transform in e.variance_factors:
+                powers[ei, self._variance_index[vn]] += transform.value
+        return CompiledCovariance(
+            n=self.n,
+            n_traits=self.n_traits,
+            diagonal=self.diagonal,
+            matrices=stack,
+            matrix_ids=tuple(mids.tolist()),
+            blocks=tuple(map(tuple, blocks.tolist())),
+            powers=jnp.asarray(powers),
+            factors=jnp.asarray(factors),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledCovariance:
+    """Static, jit-friendly covariance structure.
+
+    `matrices` is (D, n, n) dense or (D, n) diagonal; element metadata
+    is hashable static data so functions closing over it retrace only
+    when the model structure changes.
+    """
+
+    n: int
+    n_traits: int
+    diagonal: bool
+    matrices: jax.Array
+    matrix_ids: Tuple[int, ...]
+    blocks: Tuple[Tuple[int, int], ...]
+    powers: jax.Array  # (E, K)
+    factors: jax.Array  # (E,)
+
+    @property
+    def n_elements(self) -> int:
+        return len(self.matrix_ids)
+
+    @property
+    def n_variances(self) -> int:
+        return self.powers.shape[1]
+
+    # --- coefficient function g(theta) --------------------------------------
+    def coefficients(self, theta: jax.Array) -> jax.Array:
+        """g_e(theta) = c_e * prod_k theta_k^{p_ek} (E,).
+
+        Exponent 1 keeps sign (covariances/correlations may be
+        negative); exponent 0.5 is sqrt(|theta|) — the reference's
+        squareRoot transform applies only to positive variances
+        (covariancematrix.cpp computeElementVarianceProduct)."""
+        t = theta[None, :]
+        lin = jnp.where(self.powers == 1.0, t, 1.0).prod(axis=1)
+        sq = jnp.where(self.powers == 0.5, jnp.sqrt(jnp.abs(t)), 1.0).prod(axis=1)
+        return self.factors * lin * sq
+
+    def coefficient_jacobian(self, theta: jax.Array) -> jax.Array:
+        """dg/dtheta (E, K) — replaces computeDerivateCovariance(i)."""
+        return jax.jacfwd(self.coefficients)(theta)
+
+    def coefficient_hessian(self, theta: jax.Array) -> jax.Array:
+        """d2g/dtheta2 (E, K, K) — replaces computeDerivateCovariance(i, j)."""
+        return jax.hessian(self.coefficients)(theta)
+
+    # --- assembly ------------------------------------------------------------
+    def assemble_dense(self, theta: jax.Array) -> jax.Array:
+        """V as (T n, T n) (computeCovariance, covariancematrix.cpp:545-577)."""
+        g = self.coefficients(theta)
+        T, n = self.n_traits, self.n
+        v4 = jnp.zeros((T, n, T, n), dtype=self.matrices.dtype)
+        for ei in range(self.n_elements):
+            m = self.matrices[self.matrix_ids[ei]]
+            if self.diagonal:
+                m = jnp.diag(m)
+            ti, tj = self.blocks[ei]
+            v4 = v4.at[ti, :, tj, :].add(g[ei] * m)
+            if ti != tj:
+                v4 = v4.at[tj, :, ti, :].add(g[ei] * m.T)
+        return v4.reshape(T * n, T * n)
+
+    def assemble_blockdiag(self, theta: jax.Array) -> jax.Array:
+        """V as (n, T, T) per-individual blocks — diagonal kernels only
+        (computeBlockCovariance, covariancematrix.cpp:579-650)."""
+        if not self.diagonal:
+            raise ValueError("blockdiag assembly requires diagonal matrices")
+        g = self.coefficients(theta)
+        T, n = self.n_traits, self.n
+        v = jnp.zeros((n, T, T), dtype=self.matrices.dtype)
+        for ei in range(self.n_elements):
+            m = self.matrices[self.matrix_ids[ei]]
+            ti, tj = self.blocks[ei]
+            v = v.at[:, ti, tj].add(g[ei] * m)
+            if ti != tj:
+                v = v.at[:, tj, ti].add(g[ei] * m)
+        return v
+
+    # --- per-element primitives for REML ------------------------------------
+    def elements_times_vector(self, u: jax.Array) -> jax.Array:
+        """M_e^(placed) @ u for every element -> (E, T, n).
+
+        u is (T, n).  The building block of subVPy (reml.cpp:1947-1960)."""
+        T, n = self.n_traits, self.n
+        outs = []
+        for ei in range(self.n_elements):
+            m = self.matrices[self.matrix_ids[ei]]
+            ti, tj = self.blocks[ei]
+            out = jnp.zeros((T, n), dtype=u.dtype)
+            if self.diagonal:
+                out = out.at[ti].add(m * u[tj])
+                if ti != tj:
+                    out = out.at[tj].add(m * u[ti])
+            else:
+                out = out.at[ti].add(m @ u[tj])
+                if ti != tj:
+                    out = out.at[tj].add(m.T @ u[ti])
+            outs.append(out)
+        return jnp.stack(outs)
+
+    def element_traces_dense(self, p: jax.Array) -> jax.Array:
+        """tr(P M_e^(placed)) for every element -> (E,).
+
+        P is (T n, T n) symmetric; cross blocks contribute twice
+        (trace identity, matrix.cpp:3835)."""
+        T, n = self.n_traits, self.n
+        p4 = p.reshape(T, n, T, n)
+        traces = []
+        for ei in range(self.n_elements):
+            m = self.matrices[self.matrix_ids[ei]]
+            ti, tj = self.blocks[ei]
+            if self.diagonal:
+                t = jnp.sum(jnp.diagonal(p4[ti, :, tj, :]) * m)
+            else:
+                t = jnp.einsum("ij,ij->", p4[ti, :, tj, :], m)
+            traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
+        return jnp.stack(traces)
+
+    def element_traces_blockdiag(self, p_blocks: jax.Array) -> jax.Array:
+        """tr(P M_e) from the (n, T, T) block-diagonal part of P."""
+        traces = []
+        for ei in range(self.n_elements):
+            m = self.matrices[self.matrix_ids[ei]]
+            ti, tj = self.blocks[ei]
+            t = jnp.sum(p_blocks[:, ti, tj] * m)
+            traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
+        return jnp.stack(traces)

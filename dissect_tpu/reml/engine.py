@@ -1,0 +1,576 @@
+"""The AI-REML engine.
+
+Parity: reml.{h,cpp}.  Architecture (TPU-first):
+
+  * one jitted "quantities" function evaluates, for a given variance
+    vector theta, everything the Newton loop needs: log|V|,
+    log|X'ViX|, y'Py, the 0.5-scaled gradient, the AI matrix (with the
+    crossed-derivatives correction), and per-element primitives
+    (mirrors aiREMLStep's body, reml.cpp:2286-2498, computePMatrix
+    reml.cpp:1836-1909, computeAIMatrix reml.cpp:1963-2051,
+    computeyPsubVPy_trPsubVVector reml.cpp:2220-2253,
+    computeAIMatrixCrossedDerivatesCorrection reml.cpp:2159-2218);
+  * the host drives the iteration in float64 numpy — EM first step,
+    AI steps with stale-relative-logL damping, constraint methods
+    M1/M3, log-logistic reparameterization, convergence tests — the
+    single-controller analog of the reference's root-side scalar logic
+    (computeREML, reml.cpp:1543-1834).
+
+Two covariance representations (chosen by the CovarianceModel):
+  dense     V (Tn, Tn): Cholesky inverse (O(N^3)) per iteration;
+  diagonal  V (n, T, T) per-individual blocks: vmapped T x T solves —
+            O(n) per iteration, the diagonalized-kernel fast path
+            (reml.cpp:480-545, 1896-1908) that powers mpresiduals and
+            diagonal GWAS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dissect_tpu.linalg.spd import lu_inverse_logdet, spd_inverse_logdet
+from dissect_tpu.model.covariance import (
+    CovarianceModel,
+    ParameterType,
+)
+from dissect_tpu.runtime.log import get_logger
+
+
+@dataclasses.dataclass
+class REMLOptions:
+    """Defaults parity: options.cpp:102-180 and related flags."""
+
+    max_iterations: int = 40  # --reml-maxit (options.cpp:179)
+    variance_convergence_threshold: float = 1e-5  # options.cpp:110
+    gradient_convergence_threshold: float = 1e-2  # options.cpp:111
+    change_ai_step_threshold: float = 1e-3  # options.cpp:112
+    allow_switch_from_ai_to_em: bool = False  # options.cpp:113
+    first_step_em: bool = True  # options.cpp:114
+    step_weighting_constant: float = 0.3  # options.cpp:120
+    allow_convergence_with_constrained: bool = True  # options.cpp:130
+    maximum_correlation_covariance_constrain: float = 1.0  # options.cpp:131
+    use_log_logistic_scale: bool = False  # options.cpp:133
+    variance_constrain_proportion: float = 1e-6  # options.cpp:180
+    reml_method_em: bool = False  # --reml-method (REMLMethod=1 => EM only)
+    gcta_mode: bool = False  # options.cpp:243
+    allow_fixing_variances_to_zero: bool = False  # options.cpp:249
+    use_ml: bool = False  # ML instead of REML (GWAS internal fits)
+    initial_h2: float = 0.5  # --init-h2 (options.cpp:108)
+
+
+@dataclasses.dataclass
+class REMLResult:
+    success: bool
+    log_likelihood: float
+    variances: np.ndarray
+    variance_names: List[str]
+    ai_inverse: np.ndarray  # sampling covariance of the estimates
+    n_iterations: int
+    constrained: List[str]
+    warnings: List[str]
+    logdet_v: float = 0.0
+    logdet_xtvix: float = 0.0
+
+    def variance(self, name: str) -> float:
+        return float(self.variances[self.variance_names.index(name)])
+
+    def std_error(self, name: str) -> float:
+        i = self.variance_names.index(name)
+        return float(np.sqrt(self.ai_inverse[i, i]))
+
+
+def _logistic(x):
+    return 2.0 / (1.0 + np.exp(-x)) - 1.0
+
+
+def _logistic_inv(y):
+    return -np.log(2.0 / (y + 1.0) - 1.0)
+
+
+class REMLEngine:
+    """One REML/ML fit of V(theta) = sum_e g_e(theta) M_e to (y, X).
+
+    y: (Tn,) trait-major concatenated phenotypes; X: (Tn, c) design.
+    `y_extra` allows the multi-sample mean-likelihood mode (yList,
+    reml.cpp:2304-2350) used by recursive-GWAS group fits.
+    """
+
+    def __init__(
+        self,
+        model: CovarianceModel,
+        y: np.ndarray,
+        x: np.ndarray,
+        options: Optional[REMLOptions] = None,
+        y_list: Optional[Sequence[np.ndarray]] = None,
+        dtype=None,
+    ):
+        self.model = model
+        self.cc = model.compile()
+        self.options = options or REMLOptions()
+        self.dimension = model.n_total
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        self.dtype = dtype
+        self.y = jnp.asarray(y, dtype=dtype)
+        self.x = jnp.asarray(x, dtype=dtype)
+        if self.y.shape != (self.dimension,):
+            raise ValueError(f"y shape {self.y.shape} != ({self.dimension},)")
+        self.y_list = (
+            None
+            if y_list is None
+            else jnp.asarray(np.stack(y_list), dtype=dtype)
+        )
+        self._quantities = jax.jit(self._build_quantities())
+        # mutable fit state
+        self.log = get_logger()
+
+    # ------------------------------------------------------------------ core
+    def _build_quantities(self):
+        cc = self.cc
+        T, n = cc.n_traits, cc.n
+        use_ml = self.options.use_ml
+
+        def placed_dense(ei):
+            m = cc.matrices[cc.matrix_ids[ei]]
+            if cc.diagonal:
+                m = jnp.diag(m)
+            return m
+
+        def dense_core(theta, y, x):
+            v = cc.assemble_dense(theta)
+            vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
+            vi_l, logdet_l, _ = jax.lax.cond(
+                ok_v,
+                lambda _: (vi_c, logdet_c, ok_v),
+                lambda _: lu_inverse_logdet(v),
+                operand=None,
+            )
+            vi, logdet_v = vi_l, logdet_l
+            vix = vi @ x
+            xtvix = x.T @ vix
+            xtvix_i, logdet_x, ok_x = spd_inverse_logdet(xtvix)
+            xtvix_i, logdet_x, ok_x2 = jax.lax.cond(
+                ok_x,
+                lambda _: (xtvix_i, logdet_x, ok_x),
+                lambda _: lu_inverse_logdet(xtvix),
+                operand=None,
+            )
+            p = vi - vix @ xtvix_i @ vix.T
+            py = p @ y
+            ytpy = y @ py
+            mpy = cc.elements_times_vector(py.reshape(T, n)).reshape(
+                cc.n_elements, T * n
+            )
+            tr_e = cc.element_traces_dense(vi if use_ml else p)
+            ypmpy_e = mpy @ py
+            a = cc.coefficient_jacobian(theta)  # (E, K)
+            grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
+            subvpy = jnp.einsum("ei,ek->ik", mpy, a)  # (Tn, K)
+            psubvpy = p @ subvpy
+            ai = 0.5 * subvpy.T @ psubvpy
+            # crossed second-derivative correction (reml.cpp:2159-2218)
+            h = cc.coefficient_hessian(theta)  # (E, K, K)
+            tr_p_e = tr_e if not use_ml else cc.element_traces_dense(p)
+            ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
+            return {
+                "logdet_v": logdet_v,
+                "logdet_xtvix": logdet_x,
+                "ytpy": ytpy,
+                "grad": grad,
+                "ai": ai,
+                "ok": ok_v | True,  # LU fallback succeeded or produced NaNs
+                "finite": jnp.isfinite(logdet_v)
+                & jnp.isfinite(ytpy)
+                & jnp.all(jnp.isfinite(grad))
+                & jnp.all(jnp.isfinite(ai)),
+                "py": py,
+                "vix": vix,
+                "xtvix_i": xtvix_i,
+                "vi": vi,
+            }
+
+        def blockdiag_core(theta, y, x):
+            vb = cc.assemble_blockdiag(theta)  # (n, T, T)
+            chol = jnp.linalg.cholesky(vb)
+            diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+            ok_v = jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
+            logdet_v = 2.0 * jnp.sum(jnp.log(jnp.where(diag > 0, diag, 1.0)))
+            vi = jnp.linalg.inv(vb)  # batched T x T
+            y4 = y.reshape(T, n)
+            x4 = x.reshape(T, n, -1)
+            vix = jnp.einsum("ist,tic->sic", vi, x4)
+            xtvix = jnp.einsum("sic,sid->cd", x4, vix)
+            xtvix_i, logdet_x, ok_x = spd_inverse_logdet(xtvix)
+            xtvix_i, logdet_x, _ = jax.lax.cond(
+                ok_x,
+                lambda _: (xtvix_i, logdet_x, ok_x),
+                lambda _: lu_inverse_logdet(xtvix),
+                operand=None,
+            )
+            viy = jnp.einsum("ist,ti->si", vi, y4)
+            b = jnp.einsum("tic,ti->c", vix, y4)
+            coef = xtvix_i @ b
+            py4 = viy - jnp.einsum("sic,c->si", vix, coef)
+            ytpy = jnp.einsum("si,si->", y4, py4)
+            # block-diagonal part of P (PDiagonal, reml.cpp:1896-1908)
+            p_blocks = vi - jnp.einsum("sic,cd,tid->ist", vix, xtvix_i, vix)
+            tr_e = cc.element_traces_blockdiag(p_blocks)
+            mpy = cc.elements_times_vector(py4)  # (E, T, n)
+            ypmpy_e = jnp.einsum("eti,ti->e", mpy, py4)
+            a = cc.coefficient_jacobian(theta)
+            grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
+            subvpy = jnp.einsum("eti,ek->kti", mpy, a)  # (K, T, n)
+
+            def apply_p(u):  # P u for u (T, n) without densifying P
+                viu = jnp.einsum("ist,ti->si", vi, u)
+                bu = jnp.einsum("tic,ti->c", vix, u)
+                return viu - jnp.einsum("sic,c->si", vix, xtvix_i @ bu)
+
+            psubvpy = jax.vmap(apply_p)(subvpy)
+            ai = 0.5 * jnp.einsum("kti,lti->kl", subvpy, psubvpy)
+            h = cc.coefficient_hessian(theta)
+            ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_e - ypmpy_e)
+            return {
+                "logdet_v": logdet_v,
+                "logdet_xtvix": logdet_x,
+                "ytpy": ytpy,
+                "grad": grad,
+                "ai": ai,
+                "ok": ok_v,
+                "finite": jnp.isfinite(logdet_v)
+                & jnp.isfinite(ytpy)
+                & jnp.all(jnp.isfinite(grad))
+                & jnp.all(jnp.isfinite(ai)),
+                "py": py4.reshape(-1),
+                "vix": vix,
+                "xtvix_i": xtvix_i,
+                "vi": vi,
+            }
+
+        core = blockdiag_core if cc.diagonal else dense_core
+
+        if self.y_list is None:
+
+            def quantities(theta, y, x):
+                return core(theta, y, x)
+
+            return lambda theta: quantities(theta, self.y, self.x)
+
+        # multi-sample mean likelihood (yList, reml.cpp:2304-2350):
+        # AI from the first sample, gradient/y'Py averaged over samples.
+        def quantities_list(theta):
+            outs = jax.vmap(lambda yy: core(theta, yy, self.x))(self.y_list)
+            first = jax.tree_util.tree_map(lambda o: o[0], outs)
+            mean = jax.tree_util.tree_map(lambda o: jnp.mean(o, axis=0), outs)
+            out = dict(first)
+            out["grad"] = mean["grad"]
+            out["ytpy"] = mean["ytpy"]
+            out["ai"] = mean["ai"]
+            return out
+
+        return quantities_list
+
+    # ------------------------------------------------------------- host loop
+    def _expected_magnitude(self, i: int) -> float:
+        v = self.model.variances[i]
+        return self.model.group_magnitudes.get(v.group, 1.0)
+
+    def _constrain_m1(self, theta: np.ndarray) -> (int, List[str]):
+        """Clamp negative variances / over-bound covariances+correlations
+        (constrainVariancesM1, covariancematrix.cpp:1183-1330)."""
+        opts = self.options
+        constrained: List[str] = []
+        n_constrained = 0
+        for i, v in enumerate(self.model.variances):
+            if v.type == ParameterType.VARIANCE and theta[i] < 0:
+                theta[i] = self._expected_magnitude(i) * opts.variance_constrain_proportion
+                constrained.append(v.name)
+                n_constrained += 1
+        for i, v in enumerate(self.model.variances):
+            if v.type == ParameterType.COVARIANCE and v.constrained_on_product_of:
+                bound = opts.maximum_correlation_covariance_constrain
+                for d in v.constrained_on_product_of:
+                    bound *= theta[d]
+                bound = math.sqrt(abs(bound))
+                if abs(theta[i]) > bound:
+                    theta[i] = math.copysign(bound, theta[i])
+                    constrained.append(v.name)
+                    n_constrained += 1
+            elif v.type == ParameterType.CORRELATION:
+                bound = opts.maximum_correlation_covariance_constrain
+                if abs(theta[i]) > bound:
+                    theta[i] = math.copysign(bound, theta[i])
+                    constrained.append(v.name)
+                    n_constrained += 1
+        return n_constrained, constrained
+
+    def _constrain_m3(
+        self, old_theta: np.ndarray, delta: np.ndarray
+    ) -> (np.ndarray, float):
+        """Rescale the step until no variance is negative
+        (constrainVariancesM3, covariancematrix.cpp:1430-1499)."""
+        scaling = 1.0
+        theta = old_theta + delta
+        is_var = np.array(
+            [v.type == ParameterType.VARIANCE for v in self.model.variances]
+        )
+        while np.any((theta < 0) & is_var):
+            scaling *= self.options.step_weighting_constant
+            theta = old_theta + delta * scaling
+            if scaling == 0.0:
+                raise RuntimeError("M3 constraint scaling underflow")
+        return theta, scaling
+
+    def _em_update(
+        self, theta: np.ndarray, grad_half: np.ndarray
+    ) -> np.ndarray:
+        """EM: v <- (n v + v^2 * grad_full)/n (emREMLStep, reml.cpp:2500-2541)."""
+        grad_full = 2.0 * grad_half
+        n = float(self.dimension)
+        return (n * theta + theta * theta * grad_full) / n
+
+    def fit(self, initial_theta: Optional[np.ndarray] = None) -> REMLResult:
+        opts = self.options
+        theta = np.array(
+            self.model.initial_theta() if initial_theta is None else initial_theta,
+            dtype=np.float64,
+        )
+        fixed = np.array([v.fixed for v in self.model.variances])
+        names = self.model.variance_names()
+        k = len(theta)
+
+        log_likelihood = -1e50
+        rel_diff = np.inf
+        success = True
+        warnings: List[str] = []
+        constrained: List[str] = []
+        old_theta = theta.copy()
+        delta_store = np.zeros(k)
+        ai_inv_full = np.zeros((k, k))
+        ll_converged = var_converged = grad_converged = False
+        n_iter = 0
+        q = None
+        sreml = "ML" if opts.use_ml else "REML"
+        self.log.message(f"Starting {sreml} iterations...")
+
+        for it in range(opts.max_iterations):
+            n_iter = it + 1
+            em_step = (it == 0 and opts.first_step_em and not opts.use_ml) or (
+                opts.reml_method_em and not opts.use_ml
+            )
+            q = {
+                key: np.asarray(val, dtype=np.float64)
+                for key, val in self._quantities(jnp.asarray(theta, dtype=self.dtype)).items()
+                if key in ("logdet_v", "logdet_xtvix", "ytpy", "grad", "ai", "finite")
+            }
+            if not bool(q["finite"]):
+                success = False
+                break
+            grad_half = q["grad"]
+            old_theta = theta.copy()
+            step_mods = ""
+
+            if em_step:
+                theta = self._em_update(theta, grad_half)
+                delta_store = theta - old_theta
+                step_mods += "EM"
+            else:
+                # invert AI with fixed-variance zeroing (reml.cpp:1997-2049)
+                free = ~fixed
+                ai = q["ai"][np.ix_(free, free)]
+                try:
+                    ai_inv = np.linalg.inv(ai)
+                except np.linalg.LinAlgError:
+                    success = False
+                    break
+                ai_inv_exp = np.zeros((k, k))
+                ai_inv_exp[np.ix_(free, free)] = ai_inv
+                ai_inv_full = ai_inv_exp
+                delta = ai_inv_exp @ grad_half
+
+                damp = rel_diff > opts.change_ai_step_threshold
+                if opts.use_log_logistic_scale:
+                    # log/logistic reparameterization (reml.cpp:2382-2456)
+                    vv = theta.copy()
+                    jac_inv = np.ones(k)
+                    for i, v in enumerate(self.model.variances):
+                        if v.type == ParameterType.CORRELATION:
+                            vv[i] = _logistic_inv(theta[i])
+                            e = np.exp(-vv[i])
+                            jac_inv[i] = (1.0 + e) ** 2 / (2.0 * e)
+                        else:
+                            jac_inv[i] = 1.0 / theta[i]
+                            vv[i] = np.log(theta[i])
+                    delta_t = jac_inv * delta
+                    if damp and opts.allow_switch_from_ai_to_em:
+                        theta = self._em_update(theta, grad_half)
+                        step_mods += "e"
+                    else:
+                        w = opts.step_weighting_constant if damp else 1.0
+                        if damp:
+                            step_mods += "q"
+                        vv = vv + w * delta_t
+                        for i, v in enumerate(self.model.variances):
+                            if v.type == ParameterType.CORRELATION:
+                                theta[i] = _logistic(vv[i])
+                            else:
+                                theta[i] = np.exp(vv[i])
+                        step_mods += "l"
+                else:
+                    if damp and opts.allow_switch_from_ai_to_em and not opts.use_ml:
+                        theta = self._em_update(theta, grad_half)
+                        step_mods += "e"
+                    else:
+                        w = opts.step_weighting_constant if damp else 1.0
+                        if damp:
+                            step_mods += "q"
+                        theta = theta + w * delta
+                delta_store = delta
+                theta[fixed] = old_theta[fixed]
+
+            # log-likelihood of the step just taken (computeLogLikelihood,
+            # reml.cpp:2267-2284) — evaluated at the *pre-update* theta
+            prev_ll = log_likelihood
+            if opts.use_ml:
+                log_likelihood = -0.5 * (q["logdet_v"] + q["ytpy"])
+            else:
+                log_likelihood = -0.5 * (
+                    q["logdet_v"] + q["logdet_xtvix"] + q["ytpy"]
+                )
+            ll_diff = log_likelihood - prev_ll
+            rel_diff = abs(ll_diff / prev_ll) if prev_ll != 0 else np.inf
+
+            # constraints (reml.cpp:1629-1669)
+            n_constrained, constrained = self._constrain_m1(theta)
+            constrained_method = 1 if n_constrained else 0
+            frac = n_constrained / k
+            if frac > 0.5 and it == 0:
+                self.log.message(
+                    f"Error: more than half of the parameters constrained in the "
+                    f"first step. {sreml} stopped."
+                )
+                success = False
+                break
+            elif frac > 0.5:
+                if opts.gcta_mode:
+                    raise RuntimeError("more than half of parameters constrained")
+                theta, scaling = self._constrain_m3(old_theta, delta_store)
+                constrained_method = 2
+                n_constrained = 0
+
+            self.log.message(
+                f"  {n_iter:3d} {step_mods:>4s}  logL {log_likelihood:.6f}  "
+                + " ".join(f"{t:.6g}" for t in theta)
+                + (f"  ({n_constrained} constrained)" if n_constrained else "")
+            )
+
+            # convergence (reml.cpp:1687-1737)
+            ll_converged = (ll_diff < 1e-4) and (ll_diff > -1e-2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel_changes = np.abs((theta - old_theta) / old_theta)
+            var_converged = bool(np.all(rel_changes <= opts.variance_convergence_threshold))
+            grad_converged = bool(
+                np.all(
+                    (np.abs(grad_half) <= opts.gradient_convergence_threshold)
+                    | np.array([names[i] in constrained for i in range(k)])
+                )
+            )
+            if (
+                ll_converged
+                and var_converged
+                and constrained_method != 2
+                and (
+                    constrained_method != 1
+                    or opts.allow_convergence_with_constrained
+                )
+                and not fixed.any()
+            ):
+                if constrained_method == 1:
+                    warnings.append(
+                        f"{n_constrained} parameters constrained: "
+                        + ", ".join(constrained)
+                    )
+                if not grad_converged:
+                    warnings.append(
+                        "gradient did not converge below "
+                        f"{opts.gradient_convergence_threshold}"
+                    )
+                break
+        else:
+            success = False
+
+        if success:
+            self.log.message(
+                f"{sreml} finished with success (logL: {log_likelihood:.10g})"
+            )
+        else:
+            self.log.message(f"Sorry, {sreml} failed to converge...")
+
+        self.final_theta = theta
+        self.final_quantities = q
+        return REMLResult(
+            success=success,
+            log_likelihood=float(log_likelihood),
+            variances=theta,
+            variance_names=names,
+            ai_inverse=ai_inv_full,
+            n_iterations=n_iter,
+            constrained=constrained,
+            warnings=warnings,
+            logdet_v=float(q["logdet_v"]) if q else 0.0,
+            logdet_xtvix=float(q["logdet_xtvix"]) if q else 0.0,
+        )
+
+    # ----------------------------------------------------------- post-fit ---
+    def _final_device_state(self):
+        out = self._quantities(jnp.asarray(self.final_theta, dtype=self.dtype))
+        return out
+
+    def compute_blue(self):
+        """beta = (X'ViX)^-1 X'Vi y with SEs (computeBLUE, reml.cpp:2924-2981)."""
+        q = self._final_device_state()
+        vix, xtvix_i = q["vix"], q["xtvix_i"]
+        T, n = self.cc.n_traits, self.cc.n
+        if self.cc.diagonal:
+            b = jnp.einsum("tic,ti->c", vix, self.y.reshape(T, n))
+        else:
+            b = vix.T @ self.y
+        beta = xtvix_i @ b
+        se = jnp.sqrt(jnp.diagonal(xtvix_i))
+        return np.asarray(beta), np.asarray(se)
+
+    def compute_blup_individuals(self, sub_id: str):
+        """u_hat = V_sub @ Py for the named sub-covariance with SEs from
+        diag(V_sub P V_sub) (computeIndividualsBLUP, reml.cpp:2983-3096)."""
+        q = self._final_device_state()
+        py = q["py"]
+        theta = jnp.asarray(self.final_theta, dtype=self.dtype)
+        g = np.asarray(self.cc.coefficients(theta))
+        T, n = self.cc.n_traits, self.cc.n
+        py4 = py.reshape(T, n)
+        blup = jnp.zeros((T, n), dtype=py.dtype)
+        for ei, e in enumerate(self.model.elements):
+            if e.subcovariance_id != sub_id:
+                continue
+            m = self.cc.matrices[self.cc.matrix_ids[ei]]
+            ti, tj = e.block
+            if self.cc.diagonal:
+                blup = blup.at[ti].add(g[ei] * m * py4[tj])
+                if ti != tj:
+                    blup = blup.at[tj].add(g[ei] * m * py4[ti])
+            else:
+                blup = blup.at[ti].add(g[ei] * (m @ py4[tj]))
+                if ti != tj:
+                    blup = blup.at[tj].add(g[ei] * (m.T @ py4[ti]))
+        return np.asarray(blup.reshape(-1))
+
+    def residuals(self):
+        """e = sigma2_E * Py — the 'E' sub-covariance applied to Py
+        (mpresiduals.cpp:141: V->multiply("E", Py))."""
+        return self.compute_blup_individuals("E")

@@ -1,0 +1,187 @@
+"""Multi-trait (bivariate/multivariate) REML driver.
+
+Parity: multireml.{h,cpp} — same kernels across traits, multi-column
+phenotypes, per-trait covariate files combined block-diagonally
+(reml.cpp:540-590), genetic covariances or correlations across traits
+(multireml.cpp:57-137).  The LRT between full and reduced/fixed models
+follows compareREMLs (multireml.h:71) with p = 0.5 * chi2_sf
+(results.cpp:38-52).
+
+Round-1 restriction (documented): all traits share the intersected
+individual set; the reference's differing-per-trait sets with
+asymmetric kernel blocks land with the grouped/regional widening.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy.stats import chi2
+
+from dissect_tpu.io.covariate import Covariate, read_covariates
+from dissect_tpu.io.ids import intersection_keeping_order
+from dissect_tpu.io.phenotype import Phenotype
+from dissect_tpu.model.kernels import Kernel
+from dissect_tpu.reml.builders import build_variance_model, initial_residual_variance
+from dissect_tpu.reml.engine import REMLEngine, REMLOptions, REMLResult
+from dissect_tpu.reml.single import SummaryRow
+
+
+@dataclasses.dataclass
+class MultiREMLOutput:
+    result: REMLResult
+    individual_keys: List[str]
+    variances: List[SummaryRow]
+    correlations: List[SummaryRow]  # genetic/environmental correlations + SE
+    blue: Optional[np.ndarray] = None
+    blue_se: Optional[np.ndarray] = None
+
+
+def lrt_p_value(log_l_full: float, log_l_reduced: float, df: int = 1) -> float:
+    """p = 0.5 * P(chi2_df > LRT) (Results::compare, results.cpp:38-52)."""
+    lrt = max(2.0 * (log_l_full - log_l_reduced), 0.0)
+    return 0.5 * float(chi2.sf(lrt, df))
+
+
+def correlation_from_covariance(
+    theta: np.ndarray,
+    ai_inv: np.ndarray,
+    cov_idx: int,
+    var1_idx: int,
+    var2_idx: int,
+):
+    """r = cov/sqrt(v1 v2) with delta-method SE (computeSummary's
+    correlation propagation, reml.cpp:2761-2922)."""
+    c, v1, v2 = theta[cov_idx], theta[var1_idx], theta[var2_idx]
+    denom = np.sqrt(v1 * v2)
+    r = c / denom
+    d = np.zeros(len(theta))
+    d[cov_idx] = 1.0 / denom
+    d[var1_idx] = -0.5 * c / (denom * v1)
+    d[var2_idx] = -0.5 * c / (denom * v2)
+    se = float(np.sqrt(max(d @ ai_inv @ d, 0.0)))
+    return float(r), se
+
+
+class MultiREML:
+    """Fit T traits jointly with cross-trait genetic (and environmental)
+    covariances."""
+
+    def __init__(
+        self,
+        kernels: Sequence[Kernel],
+        phenotypes: Sequence[Phenotype],
+        covariates: Optional[Sequence[Optional[Covariate]]] = None,
+        options: Optional[REMLOptions] = None,
+        use_correlations: bool = False,
+        environmental_covariance: bool = True,
+    ):
+        self.options = options or REMLOptions()
+        self.use_correlations = use_correlations
+        self.environmental_covariance = environmental_covariance
+        self.n_traits = len(phenotypes)
+        if covariates is None:
+            covariates = [None] * self.n_traits
+        covariates = [
+            c if c is not None else read_covariates(default_keys=p.keys)
+            for c, p in zip(covariates, phenotypes)
+        ]
+
+        common = kernels[0].individual_keys
+        for kern in kernels[1:]:
+            common = intersection_keeping_order(common, kern.individual_keys)
+        for p in phenotypes:
+            common = intersection_keeping_order(common, p.keys)
+        for c in covariates:
+            common = intersection_keeping_order(common, c.keys)
+        if not common:
+            raise ValueError("no common individuals between inputs")
+        self.individual_keys = common
+        self.kernels = [k.filter_individuals(common) for k in kernels]
+        n = len(common)
+
+        ys = []
+        for p in phenotypes:
+            pm = p.as_dict()
+            ys.append(np.array([pm[k] for k in common], dtype=np.float64))
+        self.ys = ys
+        self.y = np.concatenate(ys)
+
+        xs = [c.filter_individuals(common).matrix for c in covariates]
+        c_tot = sum(x.shape[1] for x in xs)
+        self.x = np.zeros((self.n_traits * n, c_tot), dtype=np.float64)
+        col = 0
+        for t, x in enumerate(xs):
+            self.x[t * n : (t + 1) * n, col : col + x.shape[1]] = x
+            col += x.shape[1]
+        self.xs = xs
+
+    def compute(
+        self,
+        initial_theta: Optional[np.ndarray] = None,
+        compute_blue: bool = True,
+        weights: Optional[Sequence[float]] = None,
+    ) -> MultiREMLOutput:
+        pheno_vars = [
+            initial_residual_variance(y, x) for y, x in zip(self.ys, self.xs)
+        ]
+        h2s = [self.options.initial_h2] * self.n_traits
+        mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]
+        names = [k.name for k in self.kernels]
+        model = build_variance_model(
+            mats,
+            names,
+            pheno_vars,
+            h2s,
+            weights=weights,
+            n_traits=self.n_traits,
+            use_correlations=self.use_correlations,
+            environmental_covariance=self.environmental_covariance,
+        )
+        engine = REMLEngine(model, self.y, self.x, self.options)
+        result = engine.fit(initial_theta)
+
+        theta = result.variances
+        rows = [
+            SummaryRow(nm, float(theta[i]), result.std_error(nm))
+            for i, nm in enumerate(result.variance_names)
+        ]
+        correlations: List[SummaryRow] = []
+        vn = result.variance_names
+        if not self.use_correlations:
+            for kname in names + ["E"]:
+                for j in range(self.n_traits):
+                    for l in range(j + 1, self.n_traits):
+                        cov_name = f"Covar({kname}_p{j + 1}-{l + 1})"
+                        if cov_name not in vn:
+                            continue
+                        r, se = correlation_from_covariance(
+                            theta,
+                            result.ai_inverse,
+                            vn.index(cov_name),
+                            vn.index(f"Var({kname}_p{j + 1})"),
+                            vn.index(f"Var({kname}_p{l + 1})"),
+                        )
+                        correlations.append(
+                            SummaryRow(f"Cor({kname}_p{j + 1}-{l + 1})", r, se)
+                        )
+        else:
+            for i, nm in enumerate(vn):
+                if nm.startswith("Cor("):
+                    correlations.append(
+                        SummaryRow(nm, float(theta[i]), result.std_error(nm))
+                    )
+
+        out = MultiREMLOutput(
+            result=result,
+            individual_keys=self.individual_keys,
+            variances=rows,
+            correlations=correlations,
+        )
+        if result.success and compute_blue:
+            out.blue, out.blue_se = engine.compute_blue()
+        self.engine = engine
+        self.model = model
+        return out

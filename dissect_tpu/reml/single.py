@@ -1,0 +1,167 @@
+"""Single-trait REML driver.
+
+Parity: singlereml.{h,cpp} — load kernels, intersect individuals with
+phenotype/covariates (GRM order is load-bearing, reml.cpp:344-374),
+build the covariance model, fit, and emit summary/BLUE/BLUP outputs
+(SingleREML::compute, singlereml.cpp:56-228).  Regional and
+multiple-group variants follow singlereml.cpp:230-360.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from dissect_tpu.io.covariate import Covariate, read_covariates
+from dissect_tpu.io.ids import intersection_keeping_order
+from dissect_tpu.io.phenotype import Phenotype
+from dissect_tpu.model.kernels import Kernel
+from dissect_tpu.reml.builders import build_variance_model, initial_residual_variance
+from dissect_tpu.reml.engine import REMLEngine, REMLOptions, REMLResult
+
+
+@dataclasses.dataclass
+class SummaryRow:
+    name: str
+    value: float
+    std_error: float
+
+
+@dataclasses.dataclass
+class SingleREMLOutput:
+    result: REMLResult
+    individual_keys: List[str]
+    variances: List[SummaryRow]
+    heritabilities: List[SummaryRow]  # h2 per genetic kernel + total
+    blue: Optional[np.ndarray] = None
+    blue_se: Optional[np.ndarray] = None
+    blup: Optional[Dict[str, np.ndarray]] = None
+    residuals: Optional[np.ndarray] = None
+
+
+def heritability_with_se(
+    theta: np.ndarray, ai_inv: np.ndarray, genetic_idx: Sequence[int], all_var_idx: Sequence[int]
+):
+    """h2 = sum(genetic)/sum(all variances) with delta-method SE from the
+    AI inverse (computeSummary's propagated h2 SE, reml.cpp:2761-2922)."""
+    g = float(theta[list(genetic_idx)].sum())
+    tot = float(theta[list(all_var_idx)].sum())
+    h2 = g / tot
+    d = np.zeros(len(theta))
+    for i in all_var_idx:
+        if i in genetic_idx:
+            d[i] = (tot - g) / tot**2
+        else:
+            d[i] = -g / tot**2
+    se = float(np.sqrt(max(d @ ai_inv @ d, 0.0)))
+    return h2, se
+
+
+class SingleREML:
+    """Fit y = X b + sum_i u_i + e with u_i ~ N(0, s2_i K_i)."""
+
+    def __init__(
+        self,
+        kernels: Sequence[Kernel],
+        phenotype: Phenotype,
+        covariate: Optional[Covariate] = None,
+        options: Optional[REMLOptions] = None,
+    ):
+        self.options = options or REMLOptions()
+        if covariate is None:
+            covariate = read_covariates(default_keys=phenotype.keys)
+        # individual intersection, GRM-ordered (reml.cpp:262-387)
+        common = intersection_keeping_order(
+            kernels[0].individual_keys, phenotype.keys, covariate.keys
+        )
+        for kern in kernels[1:]:
+            common = intersection_keeping_order(common, kern.individual_keys)
+        if len(common) == 0:
+            raise ValueError("no common individuals between inputs")
+        self.individual_keys = common
+        self.kernels = [k.filter_individuals(common) if not k.diagonalized else k
+                        for k in kernels]
+        pheno_map = phenotype.as_dict()
+        self.y = np.array([pheno_map[k] for k in common], dtype=np.float64)
+        self.x = covariate.filter_individuals(common).matrix
+
+        # diagonalized single-kernel fast path (reml.cpp:449-557):
+        # rotate y and X into the eigenbasis, V becomes diagonal.
+        self.diagonal = len(self.kernels) == 1 and self.kernels[0].diagonalized
+        self.eigenvectors = None
+        if self.diagonal:
+            kern = self.kernels[0]
+            if kern.individual_keys != common:
+                raise ValueError(
+                    "diagonalized kernel individuals must already match "
+                    "the analysis set (diagonalize after intersection)"
+                )
+            self.eigenvectors = np.asarray(kern.eigenvectors, dtype=np.float64)
+            self.y = self.eigenvectors.T @ self.y
+            self.x = self.eigenvectors.T @ self.x
+
+    def compute(
+        self,
+        initial_theta: Optional[np.ndarray] = None,
+        compute_blue: bool = True,
+        compute_blup: bool = False,
+        compute_residuals: bool = False,
+        weights: Optional[Sequence[float]] = None,
+    ) -> SingleREMLOutput:
+        pheno_var = initial_residual_variance(self.y, self.x)
+        if self.diagonal:
+            mats = [np.asarray(self.kernels[0].eigenvalues, dtype=np.float64)]
+        else:
+            mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]
+        names = [k.name for k in self.kernels]
+        model = build_variance_model(
+            mats,
+            names,
+            [pheno_var],
+            [self.options.initial_h2],
+            weights=weights,
+            n_traits=1,
+            diagonal=self.diagonal,
+        )
+        engine = REMLEngine(model, self.y, self.x, self.options)
+        result = engine.fit(initial_theta)
+
+        theta = result.variances
+        var_idx = list(range(len(theta)))
+        genetic_idx = model.genetic_variance_indices()
+        rows = [
+            SummaryRow(nm, float(theta[i]), result.std_error(nm))
+            for i, nm in enumerate(result.variance_names)
+        ]
+        herit = []
+        for gi in genetic_idx:
+            h2, se = heritability_with_se(theta, result.ai_inverse, [gi], var_idx)
+            herit.append(SummaryRow(f"{result.variance_names[gi]}/Var(P)", h2, se))
+        h2, se = heritability_with_se(theta, result.ai_inverse, genetic_idx, var_idx)
+        herit.append(SummaryRow("h2", h2, se))
+
+        out = SingleREMLOutput(
+            result=result,
+            individual_keys=self.individual_keys,
+            variances=rows,
+            heritabilities=herit,
+        )
+        if result.success and compute_blue:
+            out.blue, out.blue_se = engine.compute_blue()
+        if result.success and compute_blup:
+            out.blup = {}
+            for kern in self.kernels:
+                u = engine.compute_blup_individuals(kern.name)
+                if self.eigenvectors is not None:
+                    u = self.eigenvectors @ u  # back-rotation (reml.cpp:3030+)
+                out.blup[kern.name] = u
+        if result.success and compute_residuals:
+            e = engine.residuals()
+            if self.eigenvectors is not None:
+                e = self.eigenvectors @ e
+            out.residuals = e
+        self.engine = engine
+        self.model = model
+        return out

@@ -1,0 +1,66 @@
+"""Named wall-clock timers + peak memory accounting.
+
+Replaces the reference's misc.setGetElapsedTime (misc.cpp:210) and
+misc.estimateMaxMemory accumulator printed at exit (misc.cpp:254,
+main.cpp:356).  Also exposes JAX device-memory stats where the backend
+provides them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict
+
+import jax
+
+
+def _fmt_elapsed(seconds: float) -> str:
+    h = int(seconds // 3600)
+    m = int((seconds % 3600) // 60)
+    s = seconds % 60
+    return f"{h}h {m}m {s:.2f}s" if h else (f"{m}m {s:.2f}s" if m else f"{s:.3f}s")
+
+
+class Timers:
+    """start/stop named timers; `set_get(name)` starts, `set_get(name, True)` stops."""
+
+    def __init__(self):
+        self._start: Dict[str, float] = {}
+        self.elapsed: Dict[str, float] = {}
+        self._mem_current = 0
+        self.mem_peak = 0
+
+    def set_get(self, name: str, stop: bool = False) -> str:
+        now = time.monotonic()
+        if not stop:
+            self._start[name] = now
+            return ""
+        dt = now - self._start.pop(name, now)
+        self.elapsed[name] = self.elapsed.get(name, 0.0) + dt
+        return _fmt_elapsed(dt)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        self.set_get(name)
+        try:
+            yield
+        finally:
+            self.set_get(name, stop=True)
+
+    # --- memory estimation (misc.estimateMaxMemory parity) -------------------
+    def estimate_memory(self, delta_bytes: int):
+        self._mem_current += delta_bytes
+        self.mem_peak = max(self.mem_peak, self._mem_current)
+
+    @staticmethod
+    def device_memory_stats() -> dict:
+        try:
+            dev = jax.devices()[0]
+            stats = dev.memory_stats()
+            return stats or {}
+        except Exception:
+            return {}
+
+
+timers = Timers()

@@ -1,0 +1,142 @@
+"""Linalg layer tests against numpy references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import make_dosage
+
+
+class TestSyrk:
+    def test_syrk_matches_numpy(self, rng):
+        from dissect_tpu.linalg.syrk import syrk
+
+        z = rng.normal(size=(40, 16))
+        np.testing.assert_allclose(
+            np.asarray(syrk(jnp.asarray(z), accum_dtype=jnp.float64)),
+            z.T @ z,
+            rtol=1e-12,
+        )
+
+    def test_grm_accumulator_chunks(self, rng):
+        from dissect_tpu.io.bed import compute_snp_stats
+        from dissect_tpu.linalg.syrk import grm_accumulator
+
+        dosage = make_dosage(rng, 48, 24, missing_rate=0.1)
+        stats = compute_snp_stats(dosage)
+        acc = grm_accumulator(24, dtype=jnp.float64, accum_dtype=jnp.float64)
+        for s in range(0, 48, 13):
+            chunk = dosage[s : s + 13]
+            acc.update(chunk, stats.mean[s : s + 13], 1.0 / stats.std[s : s + 13])
+        kernel, counts = acc.finalize()
+
+        # numpy reference: standardized Z with missing -> 0
+        obs = (dosage >= 0).astype(float)
+        z = obs * (dosage - stats.mean[:, None]) / stats.std[:, None]
+        np.testing.assert_allclose(np.asarray(kernel), z.T @ z, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(counts), obs.T @ obs, rtol=1e-12)
+
+
+class TestSpd:
+    def _spd(self, rng, n=12):
+        a = rng.normal(size=(n, n))
+        return a @ a.T + n * np.eye(n)
+
+    def test_inverse_logdet(self, rng):
+        from dissect_tpu.linalg.spd import spd_inverse_logdet
+
+        v = self._spd(rng)
+        vi, logdet, ok = spd_inverse_logdet(jnp.asarray(v))
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(vi), np.linalg.inv(v), rtol=1e-9, atol=1e-10)
+        assert float(logdet) == pytest.approx(np.linalg.slogdet(v)[1])
+
+    def test_non_pd_detected(self, rng):
+        from dissect_tpu.linalg.spd import spd_inverse_logdet
+
+        v = self._spd(rng)
+        v[0, 0] = -5.0
+        _, _, ok = spd_inverse_logdet(jnp.asarray(v))
+        assert not bool(ok)
+
+    def test_lu_fallback_absolute_logdet(self, rng):
+        from dissect_tpu.linalg.spd import lu_inverse_logdet
+
+        v = self._spd(rng)
+        v[0] *= -1.0  # negative determinant, still invertible
+        vi, logdet, ok = lu_inverse_logdet(jnp.asarray(v))
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(vi), np.linalg.inv(v), rtol=1e-9, atol=1e-10)
+        # GCTA-style absolute log-det (matrix.cpp:3155-3300)
+        assert float(logdet) == pytest.approx(np.linalg.slogdet(v)[1])
+
+    def test_spd_solve(self, rng):
+        from dissect_tpu.linalg.spd import spd_solve
+
+        v = self._spd(rng)
+        b = rng.normal(size=(12, 3))
+        x, _, ok = spd_solve(jnp.asarray(v), jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(v, b), rtol=1e-9, atol=1e-10)
+
+    def test_bend(self, rng):
+        from dissect_tpu.linalg.spd import bend_matrix
+
+        v = self._spd(rng)
+        v = v - 1.2 * np.linalg.eigvalsh(v).min() * np.eye(12)  # make indefinite? no:
+        a = rng.normal(size=(12, 12))
+        v = a + a.T  # indefinite symmetric
+        bent = np.asarray(bend_matrix(jnp.asarray(v)))
+        assert np.linalg.eigvalsh(bent).min() >= 0
+
+
+class TestEigen:
+    def test_eigh_topk(self, rng):
+        from dissect_tpu.linalg.eigen import eigh_topk
+
+        a = rng.normal(size=(40, 40))
+        s = a @ a.T
+        w_ref = np.linalg.eigvalsh(s)[::-1]
+        w, v = eigh_topk(jnp.asarray(s), k=5, n_iter=30)
+        np.testing.assert_allclose(np.asarray(w), w_ref[:5], rtol=1e-8)
+        # eigenvector residuals
+        for i in range(5):
+            vi = np.asarray(v[:, i])
+            np.testing.assert_allclose(s @ vi, w_ref[i] * vi, rtol=1e-5, atol=1e-6)
+
+
+class TestTraces:
+    def test_trace_identities(self, rng):
+        from dissect_tpu.linalg.traces import (
+            diag_of_abat,
+            trace_of_product,
+            trace_of_product_symmetric,
+        )
+
+        a = rng.normal(size=(10, 10))
+        b = rng.normal(size=(10, 10))
+        sym = b + b.T
+        assert float(trace_of_product(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(
+            np.trace(a @ b)
+        )
+        assert float(
+            trace_of_product_symmetric(jnp.asarray(a + a.T), jnp.asarray(sym))
+        ) == pytest.approx(np.trace((a + a.T) @ sym))
+        np.testing.assert_allclose(
+            np.asarray(diag_of_abat(jnp.asarray(a), jnp.asarray(sym))),
+            np.diag(a @ sym @ a.T),
+            rtol=1e-10,
+        )
+
+
+class TestQr:
+    def test_dependent_columns(self, rng):
+        from dissect_tpu.linalg.qr import dependent_columns
+
+        a = rng.normal(size=(20, 5))
+        a = np.hstack([a, (a[:, 0] + a[:, 1])[:, None]])  # col 5 dependent
+        deps = dependent_columns(a)
+        assert 5 in deps.tolist() or 0 in deps.tolist() or 1 in deps.tolist()
+        assert len(deps) == 1
+        full = rng.normal(size=(20, 6))
+        assert len(dependent_columns(full)) == 0
