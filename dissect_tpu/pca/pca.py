@@ -1,0 +1,80 @@
+"""PCA — top eigenvectors of a kernel.
+
+Parity: pca.{h,cpp}: eigendecompose the GRM (pdsyev_, pca.cpp:36-67),
+keep the top --num-eval eigenvectors, write `.pca.eigenvalues` /
+`.pca.eigenvectors` (pca.cpp:69-101).  Eigenvalues are reported in
+descending order with their variance share.
+
+TPU-first: full eigh lowers to XLA's matmul-rich QDWH solver; for
+k << N the randomized subspace iteration (linalg/eigen.py) avoids the
+full O(N^3) solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from dissect_tpu.linalg.eigen import eigh_full, eigh_topk
+from dissect_tpu.model.kernels import Kernel
+
+
+@dataclasses.dataclass
+class PCA:
+    individual_keys: List[str]
+    eigenvalues: np.ndarray  # (k,) descending
+    eigenvectors: np.ndarray  # (n, k) columns matching eigenvalues
+
+    def write(self, prefix: str, precision: int = 8):
+        """Write .pca.eigenvalues / .pca.eigenvectors (pca.cpp:78-101)."""
+        with open(prefix + ".pca.eigenvalues", "w") as fh:
+            total = self.eigenvalues.sum()
+            fh.write("EIGENVALUE VARIANCE_EXPLAINED\n")
+            for w in self.eigenvalues:
+                fh.write(f"{w:.{precision}g} {w / total:.{precision}g}\n")
+        with open(prefix + ".pca.eigenvectors", "w") as fh:
+            for i, key in enumerate(self.individual_keys):
+                fid, iid = key.split("@", 1)
+                row = " ".join(
+                    f"{v:.{precision}g}" for v in self.eigenvectors[i]
+                )
+                fh.write(f"{fid} {iid} {row}\n")
+
+
+def compute_pca(
+    kernel: Kernel, n_components: int = 20, randomized: Optional[bool] = None
+) -> PCA:
+    """Top-k eigenpairs of a kernel.
+
+    `randomized=None` auto-selects subspace iteration when
+    k < n/8 (matmul-rich, avoids the full solve); a diagonalized kernel
+    reuses its stored eigendecomposition.
+    """
+    n = kernel.n
+    k = min(n_components, n)
+    if kernel.diagonalized:
+        w = np.asarray(kernel.eigenvalues)
+        v = np.asarray(kernel.eigenvectors)
+        order = np.argsort(w)[::-1][:k]
+        return PCA(
+            individual_keys=list(kernel.individual_keys),
+            eigenvalues=w[order],
+            eigenvectors=v[:, order],
+        )
+    if randomized is None:
+        randomized = k * 8 < n
+    if randomized:
+        w, v = eigh_topk(kernel.dense(), k=k)
+        return PCA(
+            individual_keys=list(kernel.individual_keys),
+            eigenvalues=np.asarray(w),
+            eigenvectors=np.asarray(v),
+        )
+    w, v = eigh_full(kernel.dense())
+    w = np.asarray(w)[::-1][:k]
+    v = np.asarray(v)[:, ::-1][:, :k]
+    return PCA(
+        individual_keys=list(kernel.individual_keys), eigenvalues=w, eigenvectors=v
+    )
