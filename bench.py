@@ -2,15 +2,17 @@
 
 The GRM syrk (Z^T Z over the SNP axis, kernel.cpp:92-109 /
 matrix.cpp:2682) is DISSECT's hottest kernel — O(M N^2) MACs.  This
-bench streams a synthetic (M, N) dosage matrix through the fused
-standardize+syrk accumulator in the production fast policy (bf16 MXU
-inputs, fp32 accumulation) and reports sustained TFLOP/s.
+bench runs the fused standardize+syrk accumulation in the production
+fast policy (bf16 MXU inputs, fp32 accumulation) over K chained SNP
+chunks generated on device (the tunnel to the chip makes host->device
+feeds and per-dispatch timing unreliable, so the whole loop runs inside
+one jit and is timed around a scalar device->host fetch).
 
 Prints ONE JSON line:
   {"metric": "grm_tflops_per_chip", "value": ..., "unit": "TFLOP/s",
    "vs_baseline": <fraction of v5e bf16 peak (197 TFLOP/s) — the
-                   analytic speed-of-light anchor; the reference
-                   publishes no numbers (BASELINE.md)>, "details": {...}}
+   analytic speed-of-light anchor; the reference publishes no numbers
+   (BASELINE.md)>, "details": {...}}
 """
 
 import json
@@ -23,52 +25,61 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dissect_tpu.linalg.syrk import grm_update
+    n = 8192  # individuals
+    chunk = 4096  # SNPs per accumulation step
+    k_chunks = 16  # chained steps per timed call
 
-    n_individuals = 8192
-    n_snps = 32768
-    chunk = 4096
+    p2 = jnp.clip(jnp.linspace(0.05, 0.95, chunk), 0.05, 0.95)
+    mean = (2.0 * p2).astype(jnp.float32)
+    inv_std = (1.0 / jnp.sqrt(2.0 * p2 * (1.0 - p2))).astype(jnp.float32)
 
-    rng = np.random.default_rng(0)
-    dosage = rng.integers(0, 3, size=(n_snps, n_individuals)).astype(np.int8)
-    p2 = np.clip(dosage.mean(1) / 2.0, 0.05, 0.95)
-    mean = (2.0 * p2).astype(np.float32)
-    inv_std = (1.0 / np.sqrt(2.0 * p2 * (1.0 - p2))).astype(np.float32)
-
-    kernel = jnp.zeros((n_individuals, n_individuals), jnp.float32)
-    counts = jnp.zeros((n_individuals, n_individuals), jnp.float32)
-
-    chunks = [
-        (
-            jnp.asarray(dosage[s : s + chunk]),
-            jnp.asarray(mean[s : s + chunk]),
-            jnp.asarray(inv_std[s : s + chunk]),
-        )
-        for s in range(0, n_snps, chunk)
-    ]
-
-    def run(kernel, counts):
-        for d, mu, istd in chunks:
-            kernel, counts = grm_update(
-                kernel, counts, d, mu, istd,
-                compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32,
+    @jax.jit
+    def run(seed):
+        def body(i, carry):
+            kernel, counts = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            d = jax.random.randint(key, (chunk, n), -1, 3, dtype=jnp.int8)
+            obs = (d >= 0).astype(jnp.bfloat16)
+            z = (
+                obs
+                * (d.astype(jnp.bfloat16) - mean[:, None].astype(jnp.bfloat16))
+                * inv_std[:, None].astype(jnp.bfloat16)
             )
-        return kernel, counts
+            kernel = kernel + jax.lax.dot_general(
+                z, z, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            counts = counts + jax.lax.dot_general(
+                obs, obs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return kernel, counts
 
-    # warmup (compile)
-    k1, c1 = run(kernel, counts)
-    jax.block_until_ready((k1, c1))
+        init = (
+            jnp.zeros((n, n), jnp.float32),
+            jnp.zeros((n, n), jnp.float32),
+        )
+        kernel, counts = jax.lax.fori_loop(0, k_chunks, body, init)
+        return jnp.sum(kernel) + jnp.sum(counts)
+
+    # warmup / compile
+    float(run(0))
+    # calibrate dispatch+fetch latency with a trivial jitted op
+    tiny = jax.jit(lambda s: jnp.sum(jnp.ones((8, 8)) * s))
+    float(tiny(0.0))
+    lat = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(tiny(float(i + 1)))
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
 
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        k1, c1 = run(kernel, counts)
-        jax.block_until_ready((k1, c1))
+        float(run(i + 1))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = max(min(times) - latency, 1e-9)
 
-    # useful MACs: Z^T Z and O^T O, each M*N^2 MACs = 2 flops
-    flops = 2 * 2.0 * n_snps * n_individuals**2
+    flops = k_chunks * 2 * 2.0 * chunk * n * n  # Z^T Z + O^T O
     tflops = flops / dt / 1e12
     v5e_bf16_peak = 197.0
     print(
@@ -79,12 +90,15 @@ def main():
                 "unit": "TFLOP/s",
                 "vs_baseline": round(tflops / v5e_bf16_peak, 4),
                 "details": {
-                    "n_individuals": n_individuals,
-                    "n_snps": n_snps,
-                    "chunk": chunk,
+                    "n_individuals": n,
+                    "snps_processed": k_chunks * chunk,
                     "seconds": round(dt, 4),
+                    "latency_correction_s": round(latency, 4),
                     "policy": "bf16-compute/fp32-accum",
-                    "baseline_note": "vs analytic v5e bf16 peak 197 TFLOP/s; reference publishes no numbers",
+                    "baseline_note": (
+                        "vs analytic v5e bf16 peak 197 TFLOP/s; "
+                        "reference publishes no numbers"
+                    ),
                 },
             }
         )
