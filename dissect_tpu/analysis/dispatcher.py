@@ -1,0 +1,449 @@
+"""Analysis dispatcher — the main workflow driver.
+
+Parity: Analysis (analysis.cpp:43-548) + main.cpp's dispatch chain
+(main.cpp:101-234) + the loaders-from-options in auxiliar.h:246-310
+(loadGenotypeUsingOptions, loadGRMUsingOptions).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dissect_tpu.analysis.predict import predict_phenotypes, read_snp_effects
+from dissect_tpu.analysis.simulate import read_causal_snps, simulate_phenotypes
+from dissect_tpu.gwas.mlm import mlm_gwas_fixed_v, mlm_gwas_ml_refit
+from dissect_tpu.gwas.mp import compute_mp_residuals, mp_gwas
+from dissect_tpu.gwas.ols import ols_gwas
+from dissect_tpu.io import grm_io
+from dissect_tpu.io.bed import PlinkData, read_plink
+from dissect_tpu.io.covariate import read_covariates
+from dissect_tpu.io.ids import indices_of, intersection_keeping_order
+from dissect_tpu.io.labeled_matrix import LabeledMatrix
+from dissect_tpu.io.phenotype import n_phenotype_columns, read_phenotype
+from dissect_tpu.model.kernels import Kernel, KernelType, grm_from_plink
+from dissect_tpu.pca.pca import compute_pca
+from dissect_tpu.reml.multi import MultiREML
+from dissect_tpu.reml.single import SingleREML
+from dissect_tpu.reml.summary import write_blue, write_blup_indiv, write_reml_summary
+from dissect_tpu.runtime.log import get_logger
+from dissect_tpu.runtime.options import Options
+from dissect_tpu.runtime.timers import timers
+
+
+class Analysis:
+    """One configured run: dispatches to the requested analysis."""
+
+    def __init__(self, options: Options):
+        self.options = options
+        self.args = options.args
+        self.log = get_logger()
+
+    # ----------------------------------------------------------- loaders ---
+    def load_genotype(self) -> PlinkData:
+        """loadGenotypeUsingOptions parity (auxiliar.h:246-263)."""
+        a = self.args
+        if a.bfile:
+            data = read_plink(a.bfile)
+        elif a.bfile_list:
+            with open(a.bfile_list) as fh:
+                prefixes = [ln.strip() for ln in fh if ln.strip()]
+            data = read_plink(prefixes[0])
+            for prefix in prefixes[1:]:
+                data = data.append_snps(read_plink(prefix))
+        else:
+            raise ValueError("no genotype input (--bfile / --bfile-list)")
+        keep_snps = keep_inds = None
+        if a.extract:
+            with open(a.extract) as fh:
+                wanted = {ln.split()[0] for ln in fh if ln.strip()}
+            keep_snps = [s for s in data.snp_names if s in wanted]
+        if a.keep:
+            with open(a.keep) as fh:
+                wanted = {
+                    parts[0] + "@" + parts[1]
+                    for parts in (ln.split() for ln in fh)
+                    if len(parts) >= 2
+                }
+            keep_inds = [k for k in data.individual_keys if k in wanted]
+        if keep_snps is not None or keep_inds is not None:
+            data = data.filter(keep_snps=keep_snps, keep_individuals=keep_inds)
+        return data
+
+    def load_grm(self, allow_compute: bool = True) -> Kernel:
+        """loadGRMUsingOptions parity (auxiliar.h:264-275): read a stored
+        .grm.* artifact or compute from genotypes."""
+        a = self.args
+        if a.grm:
+            loaded = grm_io.read_grm(a.grm)
+            if loaded["diagonalized"]:
+                kern = Kernel(
+                    name="GRM",
+                    type=KernelType.GRM,
+                    individual_keys=loaded["individual_keys"],
+                    snp_names=loaded["snp_names"],
+                    diagonalized=True,
+                    eigenvalues=jnp.asarray(loaded["eigenvalues"]),
+                    eigenvectors=jnp.asarray(loaded["eigenvectors"]),
+                )
+            else:
+                kern = Kernel(
+                    name="GRM",
+                    type=KernelType.GRM,
+                    individual_keys=loaded["individual_keys"],
+                    snp_names=loaded["snp_names"],
+                    matrix=jnp.asarray(loaded["kernel"]),
+                    counts=jnp.asarray(loaded["counts"]),
+                )
+        elif allow_compute and (a.bfile or a.bfile_list):
+            data = self.load_genotype()
+            kern = grm_from_plink(
+                data, flat_normalization=a.grm_flat_norm
+            )
+        else:
+            raise ValueError("no GRM input (--grm / --bfile)")
+        if a.grm_epi:
+            kern = kern.epistatic()
+        kern = kern.sanitize(self.args.min_overlap_snps)
+        if a.grm_cutoff is not None:
+            kern = kern.prune(a.grm_cutoff)
+        return kern
+
+    def load_phenotypes(self, columns: Optional[List[int]] = None):
+        a = self.args
+        if not a.pheno:
+            raise ValueError("no phenotype file (--pheno)")
+        if columns is None:
+            if a.pheno_cols:
+                columns = [int(c) for c in a.pheno_cols.split(",")]
+            else:
+                columns = [a.pheno_col]
+        return [read_phenotype(a.pheno, c) for c in columns]
+
+    def load_covariate(self, keys):
+        a = self.args
+        if a.covar or a.qcovar:
+            return read_covariates(a.covar, a.qcovar)
+        return read_covariates(default_keys=keys)
+
+    # --------------------------------------------------------- analyses ---
+    def make_grm(self):
+        """--make-grm (analysis.cpp:43-111)."""
+        with timers.phase("ComputeGRM"):
+            kern = self.load_grm()
+        if self.args.diagonalize:
+            with timers.phase("DiagonalizeGRM"):
+                diag = kern.diagonalize()
+            grm_io.write_grm_diagonalized(
+                self.args.out,
+                np.asarray(diag.eigenvalues, dtype=np.float64),
+                np.asarray(diag.eigenvectors, dtype=np.float64),
+                diag.individual_keys,
+                diag.snp_names,
+            )
+        else:
+            grm_io.write_grm(
+                self.args.out,
+                np.asarray(kern.matrix, dtype=np.float64),
+                np.asarray(kern.counts, dtype=np.float64),
+                kern.individual_keys,
+                kern.snp_names,
+            )
+        self.log.message(f"GRM stored at [ {self.args.out}.grm.* ]")
+
+    def make_pca(self):
+        """--pca (analysis.cpp:233-243)."""
+        kern = self.load_grm()
+        pca = compute_pca(kern, n_components=self.args.num_eval)
+        pca.write(self.args.out)
+        self.log.message(f"PCA stored at [ {self.args.out}.pca.* ]")
+
+    def make_reml(self):
+        """--reml (analysis.cpp:137-157, singlereml.cpp:56-228)."""
+        a = self.args
+        kern = self.load_grm()
+        if a.diagonalize:
+            kern0 = kern
+        pheno = self.load_phenotypes()[0]
+        covar = self.load_covariate(pheno.keys)
+        driver = SingleREML([kern], pheno, covar, self.options.reml_options())
+        out = driver.compute(
+            compute_blue=True,
+            compute_blup=a.indiv_blup,
+        )
+        write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
+        if a.blue and out.blue is not None:
+            x_names = covar.filter_individuals(out.individual_keys).column_names
+            write_blue(a.out, out.blue, out.blue_se, x_names)
+        if a.indiv_blup and out.blup:
+            for name, blup in out.blup.items():
+                write_blup_indiv(a.out, name, out.individual_keys, blup)
+        self.log.message(f"REML results stored at [ {a.out}.reml ]")
+        return out
+
+    def make_multi_reml(self):
+        """--bivar-reml / --multi-reml (multireml.cpp:57-137)."""
+        a = self.args
+        kern = self.load_grm()
+        if a.pheno_cols:
+            columns = [int(c) for c in a.pheno_cols.split(",")]
+        else:
+            columns = list(range(1, n_phenotype_columns(a.pheno) + 1))
+        if a.bivarREML and len(columns) != 2:
+            columns = columns[:2]
+        phenos = self.load_phenotypes(columns)
+        covariates = None
+        if a.covars or a.qcovars:
+            cfiles = (a.covars or "").split(",") if a.covars else [None] * len(phenos)
+            qfiles = (a.qcovars or "").split(",") if a.qcovars else [None] * len(phenos)
+            covariates = [
+                read_covariates(c or None, q or None, default_keys=p.keys)
+                for c, q, p in zip(cfiles, qfiles, phenos)
+            ]
+        driver = MultiREML(
+            [kern],
+            phenos,
+            covariates,
+            self.options.reml_options(),
+            use_correlations=a.use_correlations,
+            environmental_covariance=not a.no_environment_cov,
+        )
+        out = driver.compute()
+        write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
+        with open(a.out + ".correlations", "w") as fh:
+            fh.write("NAME VALUE SE\n")
+            for row in out.correlations:
+                fh.write(f"{row.name} {row.value:.8g} {row.std_error:.8g}\n")
+        self.log.message(f"multi-trait REML results stored at [ {a.out}.reml ]")
+        return out
+
+    def make_gwas(self):
+        """--gwas (gwas.cpp:126-312): OLS without a GRM, mixed model with."""
+        a = self.args
+        data = self.load_genotype()
+        pheno = self.load_phenotypes()[0]
+        covar = self.load_covariate(pheno.keys)
+
+        use_mixed = bool(a.grm) or bool(a.bfile and (a.REML or False))
+        kern = None
+        if a.grm:
+            kern = self.load_grm(allow_compute=False)
+            common = intersection_keeping_order(
+                kern.individual_keys, pheno.keys, covar.keys, data.individual_keys
+            )
+        else:
+            common = intersection_keeping_order(
+                data.individual_keys, pheno.keys, covar.keys
+            )
+        data = data.filter(keep_individuals=common)
+        pm = pheno.as_dict()
+        y = np.array([pm[k] for k in common])
+        x = covar.filter_individuals(common).matrix
+
+        stats = data.stats()
+        dosage = data.dosages()
+        observed = dosage >= 0
+        z = np.where(observed, dosage, 0).astype(np.float64)
+        # center on the observed mean; missing -> 0 contribution
+        z = np.where(observed, z - stats.mean[:, None], 0.0)
+
+        if kern is not None:
+            kern = kern.filter_individuals(common)
+            null = SingleREML(
+                [kern], pheno, covar, self.options.reml_options()
+            ).compute(compute_blue=False)
+            vnames = null.result.variance_names
+            vg = null.result.variances[vnames.index("Var(GRM)")]
+            ve = null.result.variances[vnames.index("Var(E)")]
+            if a.gwas_use_null_variances:
+                v = vg * np.asarray(kern.dense(), dtype=np.float64) + ve * np.eye(
+                    len(common)
+                )
+                res = mlm_gwas_fixed_v(z, y, x, np.linalg.inv(v))
+            else:
+                diag = kern.diagonalize()
+                res = mlm_gwas_ml_refit(
+                    z,
+                    y,
+                    x,
+                    np.asarray(diag.eigenvalues, dtype=np.float64),
+                    np.asarray(diag.eigenvectors, dtype=np.float64),
+                    (vg, ve),
+                )
+        else:
+            res = ols_gwas(z, y, x)
+
+        self._write_gwas(res, data, covar, common)
+        return res
+
+    def _write_gwas(self, res, data: PlinkData, covar, common):
+        """Write .gwas.snps / .gwas.mean / .gwas.discrete /
+        .gwas.quantitative (storeResults, gwas.cpp:1036-1154)."""
+        a = self.args
+        stats = data.stats()
+        x_names = covar.filter_individuals(common).column_names
+        kinds = {"mean": [], "discrete": [], "quantitative": []}
+        for i, name in enumerate(x_names):
+            if name.startswith("discrete"):
+                kinds["discrete"].append((name, i))
+            elif name.startswith("quantitative"):
+                kinds["quantitative"].append((name, i))
+            else:
+                kinds["mean"].append((name, i))
+        for kind, entries in kinds.items():
+            with open(f"{a.out}.gwas.{kind}", "w") as fh:
+                fh.write("GROUP NAME BETA SE PV\n")
+                for name, i in entries:
+                    # covariate estimates from the last SNP fit, as the
+                    # reference reports the group's final covariate rows
+                    fh.write(
+                        f"1 {name} {res.cov_beta[-1, i]:.8g} "
+                        f"{res.cov_se[-1, i]:.8g} {res.cov_p[-1, i]:.6g}\n"
+                    )
+        significant = []
+        with open(a.out + ".gwas.snps", "w") as fh:
+            fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV\n")
+            for i, snp in enumerate(data.snps):
+                fh.write(
+                    f"1 {snp.name} {snp.allele2} {stats.mean[i]:.3g} "
+                    f"{stats.std[i]:.3g} {res.snp_beta[i]:.8g} "
+                    f"{res.snp_beta[i] / stats.std[i]:.5g} "
+                    f"{res.snp_se[i]:.8g} {res.snp_p[i]:.6g}\n"
+                )
+                if res.snp_p[i] < a.significance_threshold:
+                    significant.append(snp.name)
+        self.log.message(
+            f"GWAS results stored at [ {a.out}.gwas.* ] "
+            f"({len(significant)} significant SNPs)"
+        )
+
+    def make_mp_residuals(self):
+        """--mpresiduals (analysis.cpp:471-477, mpresiduals.cpp:46-192)."""
+        a = self.args
+        kern = self.load_grm()
+        n_cols = n_phenotype_columns(a.pheno)
+        columns = (
+            [int(c) for c in a.pheno_cols.split(",")]
+            if a.pheno_cols
+            else list(range(1, n_cols + 1))
+        )
+        phenos = self.load_phenotypes(columns)
+        covar = self.load_covariate(phenos[0].keys)
+        lm = compute_mp_residuals(
+            kern,
+            phenos,
+            [f"pheno_{c}" for c in columns],
+            covar,
+            self.options.reml_options(),
+        )
+        lm.save(a.out + ".residuals")
+        self.log.message(f"residuals stored at [ {a.out}.residuals.* ]")
+        return lm
+
+    def make_mp_gwas(self):
+        """--mpgwas (analysis.cpp:458-469, gwasmp.cpp:96-366)."""
+        a = self.args
+        lm = LabeledMatrix.load(a.out + ".residuals")
+        data = self.load_genotype()
+        common = intersection_keeping_order(lm.row_labels, data.individual_keys)
+        lm = lm.filter(keep_rows=common)
+        data = data.filter(keep_individuals=common)
+        stats = data.stats()
+        dosage = data.dosages()
+        observed = dosage >= 0
+        z = np.where(observed, dosage - stats.mean[:, None], 0.0)
+        res = mp_gwas(z, data.snp_names, lm)
+        res.write(a.out)
+        self.log.message(f"mpgwas results stored at [ {a.out}.mpgwas ]")
+        return res
+
+    def make_simulate(self):
+        """--simulate (analysis.cpp:181-192)."""
+        a = self.args
+        data = self.load_genotype()
+        effects = read_causal_snps(a.effect_sizes)
+        result = simulate_phenotypes(
+            data,
+            effects,
+            h2=a.simu_h2,
+            binary=a.simu_binary,
+            prevalence=a.prevalence,
+            seed=a.random_seed,
+        )
+        result.write(a.out)
+        self.log.message(f"simulation stored at [ {a.out}.simulated.* ]")
+        return result
+
+    def make_predict(self):
+        """--predict (analysis.cpp:194-231)."""
+        a = self.args
+        data = self.load_genotype()
+        effects = read_snp_effects(a.snp_effects)
+        result = predict_phenotypes(data, effects)
+        result.write(a.out)
+        self.log.message(
+            f"predictions stored at [ {a.out}.predicted.phenos ] "
+            f"({result.n_snps_used} SNPs, {result.n_flipped} flipped)"
+        )
+        return result
+
+    def make_snp_stats(self):
+        """--snp-stats."""
+        a = self.args
+        data = self.load_genotype()
+        stats = data.stats()
+        with open(a.out + ".snpstats", "w") as fh:
+            fh.write("SNP CHR BP A1 A2 NONMISSING P1 P2 STD\n")
+            for i, s in enumerate(data.snps):
+                fh.write(
+                    f"{s.name} {s.chromosome} {s.position_bp} {s.allele1} "
+                    f"{s.allele2} {stats.n_nonmissing[i]} {stats.p1[i]:.6g} "
+                    f"{stats.p2[i]:.6g} {stats.std[i]:.6g}\n"
+                )
+        self.log.message(f"SNP stats stored at [ {a.out}.snpstats ]")
+
+    # --------------------------------------------------------- dispatch ---
+    def run(self):
+        dispatch = {
+            "makeGRM": self.make_grm,
+            "PCA": self.make_pca,
+            "REML": self.make_reml,
+            "bivarREML": self.make_multi_reml,
+            "multiREML": self.make_multi_reml,
+            "GWAS": self.make_gwas,
+            "multiplePhenotypeResiduals": self.make_mp_residuals,
+            "multiplePhenotypeGWAS": self.make_mp_gwas,
+            "simulate": self.make_simulate,
+            "predict": self.make_predict,
+            "snpStats": self.make_snp_stats,
+        }
+        if self.options.analysis is None:
+            raise ValueError("no analysis specified (e.g. --make-grm, --reml, --gwas)")
+        fn = dispatch.get(self.options.analysis)
+        if fn is None:
+            raise NotImplementedError(
+                f"analysis {self.options.analysis} is not implemented yet "
+                "in this build"
+            )
+        return fn()
+
+
+def main(argv=None):
+    options = Options.parse(argv)
+    log = get_logger()
+    log.attach_file(options.args.out)
+    log.verbose = options.args.verbose
+    options.echo(log)
+    with timers.phase("Total"):
+        Analysis(options).run()
+    log.message(
+        f"Analysis finished in {timers.elapsed.get('Total', 0.0):.2f}s"
+    )
+    log.close()
+
+
+if __name__ == "__main__":
+    main()
