@@ -1,0 +1,229 @@
+"""Grouped and recursive GWAS — joint per-group fits with F-tests.
+
+Parity: GWAS::computeGroupedGWAS (gwas.cpp:314-478): each SNP group is
+fit jointly as [X | G_S'] with OLS; group significance is the F-test
+against the covariates-only reduced model (computeGroupSignificance,
+gwas.cpp:916-967): SSR = b'X'y_full - b'X'y_reduced, F = (SSR/h)/MSE,
+p = F_sf(h, n - p, F).  Linearly dependent SNP columns are dropped via
+QR pivots before refitting (gwas.cpp:404-438, matrix.cpp:3501+).
+Group variance = var(G_S b_S) and per-individual group effects
+(computeGroupVariance, gwas.cpp:970-1034).  Correlated-SNP flagging
+drops the less significant of highly correlated pairs
+(getLessSignificantCorrelatedSNPs, gwas.cpp:1156).
+
+Recursive GWAS (computeRecursiveGWAS, gwas.cpp:239-284): iterate
+group-fit -> keep significant -> regroup until the significant set
+reaches a fixed point.
+
+TPU-first: groups are bucketed by size and each bucket's joint solves
+run as ONE batched (vmapped) Cholesky solve — the grouped-communicator
+task parallelism of the reference collapses into batched linear algebra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import OrderedDict
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dissect_tpu.io.labeled_matrix import LabeledMatrix
+from dissect_tpu.linalg.qr import dependent_columns
+from dissect_tpu.runtime.stats import f_sf, t_sf
+
+
+@dataclasses.dataclass
+class GroupResult:
+    group: str
+    snp_names: List[str]
+    beta: np.ndarray  # (c + s,) covariates then SNPs
+    se: np.ndarray
+    p: np.ndarray
+    f_statistic: float
+    f_p_value: float
+    group_variance: float
+    dropped_snps: List[str]
+    success: bool = True
+
+
+@partial(jax.jit, static_argnames=())
+def _joint_ols_batch(gs, y, x):
+    """gs: (B, s, n) genotype rows per group; returns batched OLS pieces."""
+
+    def one(g):
+        xg = jnp.concatenate([x, g.T], axis=1)  # (n, c+s)
+        a = xg.T @ xg
+        a_inv = jnp.linalg.inv(a)
+        b = a_inv @ (xg.T @ y)
+        btxty = b @ (xg.T @ y)
+        return b, jnp.diagonal(a_inv), btxty
+
+    return jax.vmap(one)(gs)
+
+
+def grouped_gwas(
+    genotypes,
+    snp_names: Sequence[str],
+    grouping: "OrderedDict[str, List[str]]",
+    y,
+    x,
+    significance_threshold: float = 5e-8,
+    correlation_threshold: float = 0.99,
+    compute_effects: bool = False,
+    dtype=None,
+) -> Tuple[Dict[str, GroupResult], Optional[LabeledMatrix]]:
+    """Joint OLS fit per SNP group, batched by group size."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    g_all = np.asarray(genotypes, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    n, c = x.shape
+    name_to_idx = {nm: i for i, nm in enumerate(snp_names)}
+
+    # reduced (covariates-only) fit
+    a0 = x.T @ x
+    b0 = np.linalg.solve(a0, x.T @ y)
+    btxty0 = b0 @ (x.T @ y)
+    yty = y @ y
+
+    # per-group dependent-column filtering (host, QR)
+    filtered: "OrderedDict[str, Tuple[List[str], List[str]]]" = OrderedDict()
+    for group, snps in grouping.items():
+        idx = [name_to_idx[s] for s in snps]
+        sub = g_all[idx]
+        deps = dependent_columns(np.hstack([x, sub.T]))
+        deps = [d - c for d in deps if d >= c]
+        kept = [s for j, s in enumerate(snps) if j not in set(deps)]
+        dropped = [s for j, s in enumerate(snps) if j in set(deps)]
+        filtered[group] = (kept, dropped)
+
+    # bucket by size, batch each bucket
+    buckets: Dict[int, List[str]] = {}
+    for group, (kept, _) in filtered.items():
+        if kept:
+            buckets.setdefault(len(kept), []).append(group)
+
+    results: Dict[str, GroupResult] = {}
+    effects_cols: Dict[str, np.ndarray] = {}
+    yj = jnp.asarray(y, dtype=dtype)
+    xj = jnp.asarray(x, dtype=dtype)
+    for size, group_list in sorted(buckets.items()):
+        gs = np.stack(
+            [g_all[[name_to_idx[s] for s in filtered[g][0]]] for g in group_list]
+        )
+        bs, a_inv_diags, btxtys = _joint_ols_batch(
+            jnp.asarray(gs, dtype=dtype), yj, xj
+        )
+        bs = np.asarray(bs, dtype=np.float64)
+        a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
+        btxtys = np.asarray(btxtys, dtype=np.float64)
+        p_coef = c + size
+        df = n - p_coef
+        for bi, group in enumerate(group_list):
+            kept, dropped = filtered[group]
+            sse = yty - btxtys[bi]
+            mse = sse / df
+            se = np.sqrt(np.maximum(mse * a_inv_diags[bi], 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = bs[bi] / se
+            pvals = 2.0 * t_sf(df, np.abs(t))
+            ssr = btxtys[bi] - btxty0
+            h = p_coef - c
+            if ssr < 0 or mse <= 0:
+                f_stat, f_p = np.nan, np.nan
+                ok = False
+            else:
+                f_stat = (ssr / h) / mse
+                f_p = float(f_sf(h, df, f_stat))
+                ok = True
+            snp_beta = bs[bi][c:]
+            geno = gs[bi]
+            group_effect = geno.T @ snp_beta
+            results[group] = GroupResult(
+                group=group,
+                snp_names=kept,
+                beta=bs[bi],
+                se=se,
+                p=pvals,
+                f_statistic=float(f_stat),
+                f_p_value=f_p,
+                group_variance=float(np.var(group_effect, ddof=1)),
+                dropped_snps=dropped,
+                success=ok,
+            )
+            if compute_effects:
+                effects_cols[group] = group_effect
+
+    effects = None
+    if compute_effects and effects_cols:
+        cols = [g for g in grouping if g in effects_cols]
+        effects = LabeledMatrix(
+            [f"ind_{i}" for i in range(n)],
+            cols,
+            np.column_stack([effects_cols[g] for g in cols]),
+        )
+    return results, effects
+
+
+def flag_correlated_snps(
+    genotypes, snp_names: Sequence[str], p_values, threshold: float = 0.99
+) -> List[str]:
+    """The less-significant SNP of each highly correlated pair
+    (getLessSignificantCorrelatedSNPs, gwas.cpp:1156)."""
+    g = np.asarray(genotypes, dtype=np.float64)
+    g = g - g.mean(axis=1, keepdims=True)
+    norms = np.linalg.norm(g, axis=1)
+    norms[norms == 0] = 1.0
+    corr = (g @ g.T) / np.outer(norms, norms)
+    flagged = set()
+    m = len(snp_names)
+    for i in range(m):
+        for j in range(i + 1, m):
+            if abs(corr[i, j]) > threshold:
+                loser = i if p_values[i] > p_values[j] else j
+                flagged.add(snp_names[loser])
+    return sorted(flagged)
+
+
+def recursive_gwas(
+    genotypes,
+    snp_names: Sequence[str],
+    y,
+    x,
+    group_size: int = 100,
+    significance_threshold: float = 5e-8,
+    max_iterations: int = 20,
+) -> Tuple[List[str], Dict[str, GroupResult]]:
+    """Iterative grouped fit -> keep significant -> regroup
+    (computeRecursiveGWAS, gwas.cpp:239-284).  Returns the fixed-point
+    significant SNP set and the final group results."""
+    current = list(snp_names)
+    name_to_idx = {nm: i for i, nm in enumerate(snp_names)}
+    g_all = np.asarray(genotypes, dtype=np.float64)
+    last_results: Dict[str, GroupResult] = {}
+    for _ in range(max_iterations):
+        grouping: "OrderedDict[str, List[str]]" = OrderedDict()
+        for gi, start in enumerate(range(0, len(current), group_size), 1):
+            grouping[f"g{gi}"] = current[start : start + group_size]
+        sub = g_all[[name_to_idx[s] for s in current]]
+        results, _ = grouped_gwas(
+            sub, current, grouping, y, x,
+            significance_threshold=significance_threshold,
+        )
+        last_results = results
+        significant: List[str] = []
+        for res in results.values():
+            c = len(res.beta) - len(res.snp_names)
+            for j, snp in enumerate(res.snp_names):
+                if res.p[c + j] < significance_threshold:
+                    significant.append(snp)
+        significant = [s for s in snp_names if s in set(significant)]
+        if significant == current or not significant:
+            return significant, last_results
+        current = significant
+    return current, last_results

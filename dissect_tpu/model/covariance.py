@@ -266,13 +266,18 @@ class CovarianceModel:
         )
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class CompiledCovariance:
     """Static, jit-friendly covariance structure.
 
     `matrices` is (D, n, n) dense or (D, n) diagonal; element metadata
     is hashable static data so functions closing over it retrace only
-    when the model structure changes.
+    when the model structure changes.  Registered as a pytree (arrays as
+    leaves, structure as aux data) so jitted functions taking a
+    CompiledCovariance argument share their compilation across model
+    instances with the same structure — essential for regional /
+    reduced-model / per-SNP workflows that build many models.
     """
 
     n: int
@@ -283,6 +288,27 @@ class CompiledCovariance:
     blocks: Tuple[Tuple[int, int], ...]
     powers: jax.Array  # (E, K)
     factors: jax.Array  # (E,)
+
+    def tree_flatten(self):
+        return (
+            (self.matrices, self.powers, self.factors),
+            (self.n, self.n_traits, self.diagonal, self.matrix_ids, self.blocks),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        matrices, powers, factors = children
+        n, n_traits, diagonal, matrix_ids, blocks = aux
+        return cls(
+            n=n,
+            n_traits=n_traits,
+            diagonal=diagonal,
+            matrices=matrices,
+            matrix_ids=matrix_ids,
+            blocks=blocks,
+            powers=powers,
+            factors=factors,
+        )
 
     @property
     def n_elements(self) -> int:

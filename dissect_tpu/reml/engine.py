@@ -126,155 +126,18 @@ class REMLEngine:
             if y_list is None
             else jnp.asarray(np.stack(y_list), dtype=dtype)
         )
-        self._quantities = jax.jit(self._build_quantities())
+        use_ml = self.options.use_ml
+        if self.y_list is None:
+            core = _blockdiag_quantities if self.cc.diagonal else _dense_quantities
+            self._quantities = lambda theta: core(
+                self.cc, theta, self.y, self.x, use_ml
+            )
+        else:
+            self._quantities = lambda theta: _ylist_quantities(
+                self.cc, theta, self.y_list, self.x, use_ml
+            )
         # mutable fit state
         self.log = get_logger()
-
-    # ------------------------------------------------------------------ core
-    def _build_quantities(self):
-        cc = self.cc
-        T, n = cc.n_traits, cc.n
-        use_ml = self.options.use_ml
-
-        def placed_dense(ei):
-            m = cc.matrices[cc.matrix_ids[ei]]
-            if cc.diagonal:
-                m = jnp.diag(m)
-            return m
-
-        def dense_core(theta, y, x):
-            v = cc.assemble_dense(theta)
-            vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
-            vi_l, logdet_l, _ = jax.lax.cond(
-                ok_v,
-                lambda _: (vi_c, logdet_c, ok_v),
-                lambda _: lu_inverse_logdet(v),
-                operand=None,
-            )
-            vi, logdet_v = vi_l, logdet_l
-            vix = vi @ x
-            xtvix = x.T @ vix
-            xtvix_i, logdet_x, ok_x = spd_inverse_logdet(xtvix)
-            xtvix_i, logdet_x, ok_x2 = jax.lax.cond(
-                ok_x,
-                lambda _: (xtvix_i, logdet_x, ok_x),
-                lambda _: lu_inverse_logdet(xtvix),
-                operand=None,
-            )
-            p = vi - vix @ xtvix_i @ vix.T
-            py = p @ y
-            ytpy = y @ py
-            mpy = cc.elements_times_vector(py.reshape(T, n)).reshape(
-                cc.n_elements, T * n
-            )
-            tr_e = cc.element_traces_dense(vi if use_ml else p)
-            ypmpy_e = mpy @ py
-            a = cc.coefficient_jacobian(theta)  # (E, K)
-            grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
-            subvpy = jnp.einsum("ei,ek->ik", mpy, a)  # (Tn, K)
-            psubvpy = p @ subvpy
-            ai = 0.5 * subvpy.T @ psubvpy
-            # crossed second-derivative correction (reml.cpp:2159-2218)
-            h = cc.coefficient_hessian(theta)  # (E, K, K)
-            tr_p_e = tr_e if not use_ml else cc.element_traces_dense(p)
-            ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
-            return {
-                "logdet_v": logdet_v,
-                "logdet_xtvix": logdet_x,
-                "ytpy": ytpy,
-                "grad": grad,
-                "ai": ai,
-                "ok": ok_v | True,  # LU fallback succeeded or produced NaNs
-                "finite": jnp.isfinite(logdet_v)
-                & jnp.isfinite(ytpy)
-                & jnp.all(jnp.isfinite(grad))
-                & jnp.all(jnp.isfinite(ai)),
-                "py": py,
-                "vix": vix,
-                "xtvix_i": xtvix_i,
-                "vi": vi,
-            }
-
-        def blockdiag_core(theta, y, x):
-            vb = cc.assemble_blockdiag(theta)  # (n, T, T)
-            chol = jnp.linalg.cholesky(vb)
-            diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-            ok_v = jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
-            logdet_v = 2.0 * jnp.sum(jnp.log(jnp.where(diag > 0, diag, 1.0)))
-            vi = jnp.linalg.inv(vb)  # batched T x T
-            y4 = y.reshape(T, n)
-            x4 = x.reshape(T, n, -1)
-            vix = jnp.einsum("ist,tic->sic", vi, x4)
-            xtvix = jnp.einsum("sic,sid->cd", x4, vix)
-            xtvix_i, logdet_x, ok_x = spd_inverse_logdet(xtvix)
-            xtvix_i, logdet_x, _ = jax.lax.cond(
-                ok_x,
-                lambda _: (xtvix_i, logdet_x, ok_x),
-                lambda _: lu_inverse_logdet(xtvix),
-                operand=None,
-            )
-            viy = jnp.einsum("ist,ti->si", vi, y4)
-            b = jnp.einsum("tic,ti->c", vix, y4)
-            coef = xtvix_i @ b
-            py4 = viy - jnp.einsum("sic,c->si", vix, coef)
-            ytpy = jnp.einsum("si,si->", y4, py4)
-            # block-diagonal part of P (PDiagonal, reml.cpp:1896-1908)
-            p_blocks = vi - jnp.einsum("sic,cd,tid->ist", vix, xtvix_i, vix)
-            tr_e = cc.element_traces_blockdiag(p_blocks)
-            mpy = cc.elements_times_vector(py4)  # (E, T, n)
-            ypmpy_e = jnp.einsum("eti,ti->e", mpy, py4)
-            a = cc.coefficient_jacobian(theta)
-            grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
-            subvpy = jnp.einsum("eti,ek->kti", mpy, a)  # (K, T, n)
-
-            def apply_p(u):  # P u for u (T, n) without densifying P
-                viu = jnp.einsum("ist,ti->si", vi, u)
-                bu = jnp.einsum("tic,ti->c", vix, u)
-                return viu - jnp.einsum("sic,c->si", vix, xtvix_i @ bu)
-
-            psubvpy = jax.vmap(apply_p)(subvpy)
-            ai = 0.5 * jnp.einsum("kti,lti->kl", subvpy, psubvpy)
-            h = cc.coefficient_hessian(theta)
-            ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_e - ypmpy_e)
-            return {
-                "logdet_v": logdet_v,
-                "logdet_xtvix": logdet_x,
-                "ytpy": ytpy,
-                "grad": grad,
-                "ai": ai,
-                "ok": ok_v,
-                "finite": jnp.isfinite(logdet_v)
-                & jnp.isfinite(ytpy)
-                & jnp.all(jnp.isfinite(grad))
-                & jnp.all(jnp.isfinite(ai)),
-                "py": py4.reshape(-1),
-                "vix": vix,
-                "xtvix_i": xtvix_i,
-                "vi": vi,
-            }
-
-        core = blockdiag_core if cc.diagonal else dense_core
-
-        if self.y_list is None:
-
-            def quantities(theta, y, x):
-                return core(theta, y, x)
-
-            return lambda theta: quantities(theta, self.y, self.x)
-
-        # multi-sample mean likelihood (yList, reml.cpp:2304-2350):
-        # AI from the first sample, gradient/y'Py averaged over samples.
-        def quantities_list(theta):
-            outs = jax.vmap(lambda yy: core(theta, yy, self.x))(self.y_list)
-            first = jax.tree_util.tree_map(lambda o: o[0], outs)
-            mean = jax.tree_util.tree_map(lambda o: jnp.mean(o, axis=0), outs)
-            out = dict(first)
-            out["grad"] = mean["grad"]
-            out["ytpy"] = mean["ytpy"]
-            out["ai"] = mean["ai"]
-            return out
-
-        return quantities_list
 
     # ------------------------------------------------------------- host loop
     def _expected_magnitude(self, i: int) -> float:
@@ -574,3 +437,149 @@ class REMLEngine:
         """e = sigma2_E * Py — the 'E' sub-covariance applied to Py
         (mpresiduals.cpp:141: V->multiply("E", Py))."""
         return self.compute_blup_individuals("E")
+
+
+# --------------------------------------------------------------------------
+# Module-level jitted quantities cores.  Taking the CompiledCovariance as a
+# pytree argument (structure in aux data) means engines over models with the
+# same element structure and shapes SHARE compilations — regional scans,
+# reduced-model refits and GWAS null fits do not retrace.
+# --------------------------------------------------------------------------
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("use_ml",))
+def _dense_quantities(cc, theta, y, x, use_ml=False):
+    """Dense-V REML/ML quantities (aiREMLStep body, reml.cpp:2286-2498)."""
+    T, n = cc.n_traits, cc.n
+    v = cc.assemble_dense(theta)
+    vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
+    vi, logdet_v, _ = jax.lax.cond(
+        ok_v,
+        lambda _: (vi_c, logdet_c, ok_v),
+        lambda _: lu_inverse_logdet(v),
+        operand=None,
+    )
+    vix = vi @ x
+    xtvix = x.T @ vix
+    xtvix_c, logdet_xc, ok_x = spd_inverse_logdet(xtvix)
+    xtvix_i, logdet_x, _ = jax.lax.cond(
+        ok_x,
+        lambda _: (xtvix_c, logdet_xc, ok_x),
+        lambda _: lu_inverse_logdet(xtvix),
+        operand=None,
+    )
+    p = vi - vix @ xtvix_i @ vix.T
+    py = p @ y
+    ytpy = y @ py
+    mpy = cc.elements_times_vector(py.reshape(T, n)).reshape(cc.n_elements, T * n)
+    tr_e = cc.element_traces_dense(vi if use_ml else p)
+    ypmpy_e = mpy @ py
+    a = cc.coefficient_jacobian(theta)  # (E, K)
+    grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
+    subvpy = jnp.einsum("ei,ek->ik", mpy, a)  # (Tn, K)
+    psubvpy = p @ subvpy
+    ai = 0.5 * subvpy.T @ psubvpy
+    # crossed second-derivative correction (reml.cpp:2159-2218)
+    h = cc.coefficient_hessian(theta)  # (E, K, K)
+    tr_p_e = cc.element_traces_dense(p) if use_ml else tr_e
+    ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
+    return {
+        "logdet_v": logdet_v,
+        "logdet_xtvix": logdet_x,
+        "ytpy": ytpy,
+        "grad": grad,
+        "ai": ai,
+        "finite": jnp.isfinite(logdet_v)
+        & jnp.isfinite(ytpy)
+        & jnp.all(jnp.isfinite(grad))
+        & jnp.all(jnp.isfinite(ai)),
+        "py": py,
+        "vix": vix,
+        "xtvix_i": xtvix_i,
+        "vi": vi,
+    }
+
+
+@_partial(jax.jit, static_argnames=("use_ml",))
+def _blockdiag_quantities(cc, theta, y, x, use_ml=False):
+    """Diagonal-V fast path: V as (n, T, T) per-individual blocks — the
+    BlockMatrix replacement (reml.cpp:1896-1908, blockmatrix.h:32-124)."""
+    T, n = cc.n_traits, cc.n
+    vb = cc.assemble_blockdiag(theta)  # (n, T, T)
+    chol = jnp.linalg.cholesky(vb)
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    ok_v = jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
+    logdet_v = 2.0 * jnp.sum(jnp.log(jnp.where(diag > 0, diag, 1.0)))
+    vi = jnp.linalg.inv(vb)  # batched T x T
+    y4 = y.reshape(T, n)
+    x4 = x.reshape(T, n, -1)
+    vix = jnp.einsum("ist,tic->sic", vi, x4)
+    xtvix = jnp.einsum("sic,sid->cd", x4, vix)
+    xtvix_c, logdet_xc, ok_x = spd_inverse_logdet(xtvix)
+    xtvix_i, logdet_x, _ = jax.lax.cond(
+        ok_x,
+        lambda _: (xtvix_c, logdet_xc, ok_x),
+        lambda _: lu_inverse_logdet(xtvix),
+        operand=None,
+    )
+    viy = jnp.einsum("ist,ti->si", vi, y4)
+    b = jnp.einsum("tic,ti->c", vix, y4)
+    coef = xtvix_i @ b
+    py4 = viy - jnp.einsum("sic,c->si", vix, coef)
+    ytpy = jnp.einsum("si,si->", y4, py4)
+    # block-diagonal part of P (PDiagonal via diagonalOfABAt, reml.cpp:1906)
+    p_blocks = vi - jnp.einsum("sic,cd,tid->ist", vix, xtvix_i, vix)
+    tr_e = cc.element_traces_blockdiag(vi if use_ml else p_blocks)
+    mpy = cc.elements_times_vector(py4)  # (E, T, n)
+    ypmpy_e = jnp.einsum("eti,ti->e", mpy, py4)
+    a = cc.coefficient_jacobian(theta)
+    grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
+    subvpy = jnp.einsum("eti,ek->kti", mpy, a)  # (K, T, n)
+
+    def apply_p(u):  # P u for u (T, n) without densifying P
+        viu = jnp.einsum("ist,ti->si", vi, u)
+        bu = jnp.einsum("tic,ti->c", vix, u)
+        return viu - jnp.einsum("sic,c->si", vix, xtvix_i @ bu)
+
+    psubvpy = jax.vmap(apply_p)(subvpy)
+    ai = 0.5 * jnp.einsum("kti,lti->kl", subvpy, psubvpy)
+    h = cc.coefficient_hessian(theta)
+    tr_p_e = cc.element_traces_blockdiag(p_blocks) if use_ml else tr_e
+    ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
+    return {
+        "logdet_v": logdet_v,
+        "logdet_xtvix": logdet_x,
+        "ytpy": ytpy,
+        "grad": grad,
+        "ai": ai,
+        "finite": jnp.isfinite(logdet_v)
+        & jnp.isfinite(ytpy)
+        & jnp.all(jnp.isfinite(grad))
+        & jnp.all(jnp.isfinite(ai)),
+        "py": py4.reshape(-1),
+        "vix": vix,
+        "xtvix_i": xtvix_i,
+        "vi": vi,
+    }
+
+
+@_partial(jax.jit, static_argnames=("use_ml",))
+def _ylist_quantities(cc, theta, y_list, x, use_ml=False):
+    """Multi-sample mean likelihood (yList, reml.cpp:2296-2350): AI from
+    the first sample, gradient / y'Py / AI averaged over samples."""
+    core = _blockdiag_quantities if cc.diagonal else _dense_quantities
+
+    def one(yy):
+        return core(cc, yy, x=x, theta=theta, use_ml=use_ml)
+
+    outs = jax.vmap(lambda yy: one(yy))(y_list)
+    first = jax.tree_util.tree_map(lambda o: o[0], outs)
+    out = dict(first)
+    out["grad"] = jnp.mean(outs["grad"], axis=0)
+    out["ytpy"] = jnp.mean(outs["ytpy"], axis=0)
+    out["ai"] = jnp.mean(outs["ai"], axis=0)
+    out["finite"] = jnp.all(outs["finite"])
+    return out
