@@ -181,6 +181,20 @@ class Analysis:
         if a.indiv_blup and out.blup:
             for name, blup in out.blup.items():
                 write_blup_indiv(a.out, name, out.individual_keys, blup)
+        if a.snp_blup and (a.bfile or a.bfile_list):
+            from dissect_tpu.reml.snp_blup import compute_snp_blup, write_snp_blup
+
+            data = self.load_genotype()
+            q = driver.engine._final_device_state()
+            py = np.asarray(q["py"], dtype=np.float64)
+            blup_result = compute_snp_blup(
+                data,
+                out.individual_keys,
+                py,
+                out.result.variance("Var(GRM)"),
+                grm_snp_names=kern.snp_names or None,
+            )
+            write_snp_blup(a.out, "GRM", blup_result)
         self.log.message(f"REML results stored at [ {a.out}.reml ]")
         return out
 
@@ -390,6 +404,95 @@ class Analysis:
         )
         return result
 
+    def make_igwas(self):
+        """--igwas (igwas.cpp:102-200): SNP as the outcome."""
+        from dissect_tpu.gwas.igwas import igwas
+
+        a = self.args
+        data = self.load_genotype()
+        covar = read_covariates(
+            a.igwas_covar, a.igwas_qcovar, default_keys=data.individual_keys
+        )
+        common = intersection_keeping_order(data.individual_keys, covar.keys)
+        data = data.filter(keep_individuals=common)
+        covar = covar.filter_individuals(common)
+        stats = data.stats()
+        dosage = data.dosages()
+        observed = dosage >= 0
+        z = np.where(observed, dosage - stats.mean[:, None], 0.0)
+        v_inv = None
+        if a.grm:
+            kern = self.load_grm(allow_compute=False).filter_individuals(common)
+            v = np.asarray(kern.dense(), dtype=np.float64) + np.eye(len(common))
+            v_inv = np.linalg.inv(v)
+        res = igwas(z, data.snp_names, covar.matrix, covar.column_names, v_inv)
+        res.write(a.out)
+        self.log.message(f"inverse GWAS stored at [ {a.out}.igwas ]")
+        return res
+
+    def make_recursive_gwas(self):
+        """--rgwas (gwas.cpp:239-284)."""
+        from dissect_tpu.gwas.grouped import recursive_gwas
+
+        a = self.args
+        data = self.load_genotype()
+        pheno = self.load_phenotypes()[0]
+        covar = self.load_covariate(pheno.keys)
+        common = intersection_keeping_order(
+            data.individual_keys, pheno.keys, covar.keys
+        )
+        data = data.filter(keep_individuals=common)
+        pm = pheno.as_dict()
+        y = np.array([pm[k] for k in common])
+        x = covar.filter_individuals(common).matrix
+        stats = data.stats()
+        dosage = data.dosages()
+        z = np.where(dosage >= 0, dosage - stats.mean[:, None], 0.0)
+        significant, results = recursive_gwas(
+            z, data.snp_names, y, x,
+            group_size=a.region_size,
+            significance_threshold=a.significance_threshold,
+        )
+        with open(a.out + ".rgwas", "w") as fh:
+            fh.write("SNP\n")
+            for s in significant:
+                fh.write(s + "\n")
+        self.log.message(
+            f"recursive GWAS stored at [ {a.out}.rgwas ] "
+            f"({len(significant)} significant SNPs)"
+        )
+        return significant
+
+    def make_glmm(self):
+        """--glmm (glmm.cpp, experimental as in the reference main.cpp:200)."""
+        from dissect_tpu.glm.glmm import GLMM
+
+        a = self.args
+        kern = self.load_grm()
+        pheno = self.load_phenotypes()[0]
+        covar = self.load_covariate(pheno.keys)
+        common = intersection_keeping_order(
+            kern.individual_keys, pheno.keys, covar.keys
+        )
+        kern = kern.filter_individuals(common)
+        pm = pheno.as_dict()
+        raw = np.array([pm[k] for k in common])
+        y = (raw == raw.max()).astype(np.float64)  # 1/2 case coding -> 0/1
+        x = covar.filter_individuals(common).matrix
+        var = float(np.var(y, ddof=1))
+        v = (
+            a.initial_h2 * var * np.asarray(kern.dense(), dtype=np.float64)
+            + (1 - a.initial_h2) * var * np.eye(len(common))
+        )
+        result = GLMM(y, x, v, seed=a.random_seed).fit()
+        with open(a.out + ".glmm", "w") as fh:
+            fh.write("NAME BETA SE\n")
+            names = covar.filter_individuals(common).column_names
+            for name, b, se in zip(names, result.betas, result.betas_se):
+                fh.write(f"{name} {b:.8g} {se:.8g}\n")
+        self.log.message(f"GLMM results stored at [ {a.out}.glmm ]")
+        return result
+
     def make_snp_stats(self):
         """--snp-stats."""
         a = self.args
@@ -419,6 +522,9 @@ class Analysis:
             "simulate": self.make_simulate,
             "predict": self.make_predict,
             "snpStats": self.make_snp_stats,
+            "iGWAS": self.make_igwas,
+            "recursiveGWAS": self.make_recursive_gwas,
+            "GLMM": self.make_glmm,
         }
         if self.options.analysis is None:
             raise ValueError("no analysis specified (e.g. --make-grm, --reml, --gwas)")

@@ -31,7 +31,8 @@ class SnpEffect:
 def read_snp_effects(path: str, fmt: str = "auto") -> Dict[str, SnpEffect]:
     """Read a SNP-effect table.
 
-    Formats: 'blup' = .blup.snps (SNP ALLELE MEAN BLUP), 'gwas' =
+    Formats: 'blup' = .blup.snps (SNP ALLELE BLUP STDEV MEAN NBLUP,
+    loadREMLEffect column order, predictphenotype.cpp), 'gwas' =
     .gwas.snps (GROUP SNP ALLELE MEAN STDEV BETA ...), 'plain' =
     (SNP ALLELE EFFECT).  'auto' sniffs the header.
     """
@@ -53,7 +54,7 @@ def read_snp_effects(path: str, fmt: str = "auto") -> Dict[str, SnpEffect]:
         if fmt == "gwas":
             name, allele, mean, effect = parts[1], parts[2], float(parts[3]), float(parts[5])
         elif fmt == "blup":
-            name, allele, mean, effect = parts[0], parts[1], float(parts[2]), float(parts[3])
+            name, allele, effect, mean = parts[0], parts[1], float(parts[2]), float(parts[4])
         else:
             name, allele, effect, mean = parts[0], parts[1], float(parts[2]), 0.0
         if name in effects:

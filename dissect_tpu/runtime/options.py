@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--weights", help="kernel weights file")
 
     gwas = p.add_argument_group("gwas")
+    gwas.add_argument("--igwas-covar", help="discrete covariates tested by inverse GWAS")
+    gwas.add_argument("--igwas-qcovar", help="quantitative covariates tested by inverse GWAS")
+    gwas.add_argument("--groups", help="SNP group file for grouped analyses")
+    gwas.add_argument("--region-size", type=int, default=100,
+                      help="SNPs per group for fixed-size grouping")
     gwas.add_argument("--gwas-use-null-variances", action="store_true",
                       help="fast path: fix variances at the null model fit "
                       "(EMMAX-style) instead of per-SNP ML refits")
