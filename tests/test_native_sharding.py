@@ -110,3 +110,18 @@ class TestSharding:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestPallasSyrk:
+    def test_interpret_parity(self, rng):
+        """Triangle-only Pallas syrk matches Z'Z (interpret mode on CPU;
+        the compiled path is exercised on TPU by the bench)."""
+        import jax.numpy as jnp
+
+        from dissect_tpu.linalg.pallas_syrk import syrk_triangle
+
+        z = rng.normal(size=(96, 80)).astype(np.float32)
+        out = syrk_triangle(
+            jnp.asarray(z), block_n=32, block_m=32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), z.T @ z, rtol=2e-5, atol=1e-4)
