@@ -1,0 +1,243 @@
+"""BGEN genotype loader (layout 2, biallelic diploid).
+
+Parity: genotypebgen.cpp — reads expected allele-2 dosages from BGEN
+probability data, biallelic + diploid only (genotypebgen.cpp:106-122),
+computing per-variant mean/std on the fly and feeding the same
+genotype containers as the PLINK path.  Layout 1 (--bgen-l1) and the
+reference's libbgen visitor machinery map onto a pure-Python parser of
+the v1.2/1.3 spec: per-variant blocks of zlib/zstd-compressed
+bit-packed probabilities.
+
+Because dosages are continuous, the loader exposes them as float32
+(GenotypeAttributes::dosages analog); the REML/GWAS layers treat them
+like standardized genotype rows without the 2-bit decode path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dissect_tpu.io.bed import IndividualInfo, SnpInfo
+
+
+@dataclasses.dataclass
+class BgenData:
+    snps: List[SnpInfo]
+    individuals: List[IndividualInfo]
+    dosages: np.ndarray  # (M, N) float32, NaN = missing
+
+    @property
+    def n_snps(self) -> int:
+        return len(self.snps)
+
+    @property
+    def n_individuals(self) -> int:
+        return len(self.individuals)
+
+    @property
+    def individual_keys(self) -> List[str]:
+        return [ind.key for ind in self.individuals]
+
+    def stats(self):
+        """Per-variant mean and std of the dosage (genotypebgen.cpp
+        on-the-fly accumulation)."""
+        observed = ~np.isnan(self.dosages)
+        n = observed.sum(axis=1)
+        mean = np.nansum(self.dosages, axis=1) / np.maximum(n, 1)
+        var = (
+            np.nansum((self.dosages - mean[:, None]) ** 2, axis=1)
+            / np.maximum(n - 1, 1)
+        )
+        return mean, np.sqrt(var), n
+
+
+def _read_string(buf: memoryview, pos: int, len_bytes: int = 2) -> Tuple[str, int]:
+    (ln,) = struct.unpack_from("<H" if len_bytes == 2 else "<I", buf, pos)
+    pos += len_bytes
+    s = bytes(buf[pos : pos + ln]).decode("utf-8", errors="replace")
+    return s, pos + ln
+
+
+def read_bgen(
+    path: str,
+    sample_path: Optional[str] = None,
+    max_variants: Optional[int] = None,
+) -> BgenData:
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    buf = memoryview(raw)
+    (offset,) = struct.unpack_from("<I", buf, 0)
+    (header_len, n_variants, n_samples) = struct.unpack_from("<III", buf, 4)
+    magic = bytes(buf[16:20])
+    if magic not in (b"bgen", b"\x00\x00\x00\x00"):
+        raise ValueError(f"{path}: bad BGEN magic {magic!r}")
+    (flags,) = struct.unpack_from("<I", buf, 4 + header_len - 4)
+    compression = flags & 0x3  # 0 none, 1 zlib, 2 zstd
+    layout = (flags >> 2) & 0xF
+    has_sample_ids = (flags >> 31) & 0x1
+    if layout != 2:
+        raise ValueError(f"{path}: only BGEN layout 2 is supported (got {layout})")
+    if compression == 2:
+        raise ValueError(f"{path}: zstd-compressed BGEN not supported in this build")
+
+    pos = 4 + header_len
+    individuals: List[IndividualInfo] = []
+    if has_sample_ids:
+        (_block_len, n_ids) = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        for _ in range(n_ids):
+            sid, pos = _read_string(buf, pos)
+            individuals.append(IndividualInfo(family_id=sid, individual_id=sid))
+    elif sample_path:
+        with open(sample_path) as fh:
+            lines = [l.split() for l in fh if l.strip()]
+        for parts in lines[2:]:  # .sample files have 2 header lines
+            individuals.append(IndividualInfo(parts[0], parts[1]))
+    else:
+        individuals = [IndividualInfo(f"sample_{i}", f"sample_{i}") for i in range(n_samples)]
+
+    pos = offset + 4
+    snps: List[SnpInfo] = []
+    rows: List[np.ndarray] = []
+    n_to_read = n_variants if max_variants is None else min(max_variants, n_variants)
+    for _ in range(n_to_read):
+        _vid, pos = _read_string(buf, pos)
+        rsid, pos = _read_string(buf, pos)
+        chrom, pos = _read_string(buf, pos)
+        (bp,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        (n_alleles,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        alleles = []
+        for _ in range(n_alleles):
+            a, pos = _read_string(buf, pos, len_bytes=4)
+            alleles.append(a)
+        (geno_len,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        geno_block = buf[pos : pos + geno_len]
+        pos += geno_len
+        if n_alleles != 2:
+            continue  # biallelic only (genotypebgen.cpp:106-122)
+        if compression == 1:
+            (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
+            data = zlib.decompress(bytes(geno_block[4:]))
+        else:
+            data = bytes(geno_block)
+        dosage = _parse_layout2_dosage(data, n_samples)
+        if dosage is None:
+            continue
+        snps.append(SnpInfo(chrom, rsid, 0.0, bp, alleles[0], alleles[1]))
+        rows.append(dosage)
+
+    dosages = (
+        np.vstack(rows) if rows else np.zeros((0, n_samples), dtype=np.float32)
+    )
+    return BgenData(snps=snps, individuals=individuals, dosages=dosages)
+
+
+def _parse_layout2_dosage(data: bytes, n_samples: int) -> Optional[np.ndarray]:
+    """Expected allele-2 dosage from a layout-2 probability block."""
+    n, n_alleles, min_pl, max_pl = struct.unpack_from("<IHBB", data, 0)
+    if n != n_samples or n_alleles != 2:
+        return None
+    ploidy = np.frombuffer(data, dtype=np.uint8, count=n, offset=8)
+    missing = (ploidy & 0x80) != 0
+    ploidy_val = ploidy & 0x3F
+    if not np.all(ploidy_val[~missing] == 2):
+        return None  # diploid only
+    phased, bits = struct.unpack_from("<BB", data, 8 + n)
+    probs_raw = np.frombuffer(data, dtype=np.uint8, offset=10 + n)
+    denom = float((1 << bits) - 1)
+    if phased:
+        # 2 haplotypes x 1 stored probability each = P(allele1);
+        # expected allele2 dosage = sum over haplotypes of (1 - P(allele1))
+        vals = _unpack_bits(probs_raw, bits, 2 * n).reshape(n, 2) / denom
+        dosage = (1.0 - vals).sum(axis=1)
+    else:
+        # 2 stored genotype probabilities: P(11), P(12); P(22) implicit
+        vals = _unpack_bits(probs_raw, bits, 2 * n).reshape(n, 2) / denom
+        p11, p12 = vals[:, 0], vals[:, 1]
+        p22 = np.clip(1.0 - p11 - p12, 0.0, 1.0)
+        dosage = p12 + 2.0 * p22
+    dosage = dosage.astype(np.float32)
+    dosage[missing] = np.nan
+    return dosage
+
+
+def write_bgen(path: str, data: BgenData, bits: int = 8):
+    """Write layout-2 zlib 8/16-bit unphased BGEN (fixture generation +
+    interop testing; hard genotypes get probability 1)."""
+    if bits not in (8, 16):
+        raise ValueError("writer supports 8- or 16-bit probabilities")
+    n = data.n_individuals
+    chunks = []
+    # header
+    header = struct.pack("<III4s", 20, data.n_snps, n, b"bgen")
+    flags = (1) | (2 << 2) | (1 << 31)  # zlib, layout 2, sample ids
+    header += struct.pack("<I", flags)
+    # sample identifier block
+    ids = b""
+    for ind in data.individuals:
+        s = ind.individual_id.encode()
+        ids += struct.pack("<H", len(s)) + s
+    sample_block = struct.pack("<II", 8 + len(ids), n) + ids
+    offset = len(header) + len(sample_block)
+    chunks.append(struct.pack("<I", offset))
+    chunks.append(header)
+    chunks.append(sample_block)
+    dtype = "<u1" if bits == 8 else "<u2"
+    denom = (1 << bits) - 1
+    for i, snp in enumerate(data.snps):
+        vid = snp.name.encode()
+        chrom = snp.chromosome.encode()
+        var = struct.pack("<H", len(vid)) + vid
+        var += struct.pack("<H", len(vid)) + vid
+        var += struct.pack("<H", len(chrom)) + chrom
+        var += struct.pack("<I", snp.position_bp)
+        var += struct.pack("<H", 2)
+        for allele in (snp.allele1, snp.allele2):
+            a = allele.encode()
+            var += struct.pack("<I", len(a)) + a
+        d = data.dosages[i]
+        missing = np.isnan(d)
+        dd = np.where(missing, 0.0, d)
+        p11 = np.clip(1.0 - dd / 2.0, 0, 1) * 0.0
+        # hard-call style: represent expected dosage via p12/p22 mix
+        p22 = np.clip(dd - 1.0, 0.0, 1.0)
+        p12 = np.clip(dd - 2.0 * p22, 0.0, 1.0)
+        p11 = np.clip(1.0 - p12 - p22, 0.0, 1.0)
+        probs = np.stack([p11, p12], axis=1)
+        vals = np.round(probs * denom).astype(dtype)
+        ploidy = np.full(n, 2, dtype=np.uint8)
+        ploidy[missing] = 2 | 0x80
+        payload = (
+            struct.pack("<IHBB", n, 2, 2, 2)
+            + ploidy.tobytes()
+            + struct.pack("<BB", 0, bits)
+            + vals.tobytes()
+        )
+        comp = zlib.compress(payload)
+        geno = struct.pack("<I", len(comp) + 4) + struct.pack("<I", len(payload)) + comp
+        chunks.append(var + geno)
+    with open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
+
+
+def _unpack_bits(raw: np.ndarray, bits: int, count: int) -> np.ndarray:
+    """Unpack little-endian bit-packed unsigned ints of width `bits`."""
+    if bits == 8:
+        return raw[:count].astype(np.float64)
+    if bits == 16:
+        return np.frombuffer(raw.tobytes(), dtype="<u2", count=count).astype(np.float64)
+    if bits == 32:
+        return np.frombuffer(raw.tobytes(), dtype="<u4", count=count).astype(np.float64)
+    expanded = np.unpackbits(raw, bitorder="little")
+    usable = (len(expanded) // bits) * bits
+    chunks = expanded[:usable].reshape(-1, bits)[:count]
+    weights = (1 << np.arange(bits)).astype(np.float64)
+    return chunks @ weights

@@ -124,6 +124,55 @@ def write_grm_diagonalized(
         fh.write(np.asarray(eigenvalues, dtype=np.float64).tobytes())
 
 
+def read_gcta_grm_gz(prefix: str):
+    """Read a GCTA gzipped-text GRM (readGCTAGRM, kernel.cpp:1198-1370):
+    `.grm.id` holds FID IID rows; `.grm.gz` holds lower-triangle lines
+    'i j n_snps value' (1-based).  Returns kernel + per-pair counts."""
+    import gzip
+
+    keys = []
+    with open(prefix + ".grm.id") as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                keys.append(parts[0] + "@" + parts[1])
+    n = len(keys)
+    kernel = np.zeros((n, n), dtype=np.float64)
+    counts = np.zeros((n, n), dtype=np.float64)
+    with gzip.open(prefix + ".grm.gz", "rt") as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            i, j = int(parts[0]) - 1, int(parts[1]) - 1
+            counts[i, j] = counts[j, i] = float(parts[2])
+            kernel[i, j] = kernel[j, i] = float(parts[3])
+    return {
+        "individual_keys": keys,
+        "snp_names": [],
+        "kernel": kernel,
+        "counts": counts,
+        "diagonalized": False,
+    }
+
+
+def write_gcta_grm_gz(prefix: str, kernel, counts, individual_keys):
+    """Write the GCTA gz format (for interop testing)."""
+    import gzip
+
+    with open(prefix + ".grm.id", "w") as fh:
+        for key in individual_keys:
+            fid, iid = key.split("@", 1)
+            fh.write(f"{fid}\t{iid}\n")
+    kernel = np.asarray(kernel)
+    counts = np.asarray(counts)
+    with gzip.open(prefix + ".grm.gz", "wt") as fh:
+        n = len(individual_keys)
+        for i in range(n):
+            for j in range(i + 1):
+                fh.write(f"{i + 1}\t{j + 1}\t{counts[i, j]:g}\t{kernel[i, j]:.8g}\n")
+
+
 def read_grm(prefix: str):
     """Read `.grm.*`; returns a dict with either kernel/counts or eigen data."""
     keys, snps = read_ids_snps(prefix)

@@ -258,6 +258,29 @@ def kernel_from_discrete(
     )
 
 
+def kernel_from_multi_discrete(
+    name: str, keys: List[str], category_sets: Sequence[Sequence[str]]
+) -> Kernel:
+    """K[i,j] = |cats_i ∩ cats_j| / sqrt(|cats_i| |cats_j|)
+    (createKernelFromMultipleDiscreteCovariates, kernel.cpp:578-737):
+    the normalized-indicator Gram matrix Z_norm Z_norm^T."""
+    cats = sorted({c for s in category_sets for c in s})
+    index = {c: i for i, c in enumerate(cats)}
+    z = np.zeros((len(keys), len(cats)), dtype=np.float32)
+    for i, s in enumerate(category_sets):
+        for c in set(s):
+            z[i, index[c]] = 1.0
+    norms = np.sqrt(np.maximum(z.sum(axis=1), 1.0))
+    zn = z / norms[:, None]
+    return Kernel(
+        name=name,
+        type=KernelType.MULTI_DISCRETE_COVARIATE,
+        individual_keys=list(keys),
+        matrix=jnp.asarray(zn @ zn.T),
+        snp_names=cats,
+    )
+
+
 def kernel_squared_exponential(
     name: str, keys: List[str], coords: np.ndarray, length_scale: float = 1.0
 ) -> Kernel:
