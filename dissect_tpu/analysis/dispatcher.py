@@ -161,18 +161,85 @@ class Analysis:
         pca.write(self.args.out)
         self.log.message(f"PCA stored at [ {self.args.out}.pca.* ]")
 
+    def extra_kernels(self, base_kernel: Kernel) -> List[Kernel]:
+        """Additional random-effect kernels from options
+        (addKernelsUsingOptions, auxiliar.h:276-310): discrete /
+        multi-discrete covariate kernels, squared-exponential kernels,
+        and GRM x environment interaction kernels."""
+        from dissect_tpu.model.kernels import (
+            kernel_from_discrete,
+            kernel_from_multi_discrete,
+            kernel_squared_exponential,
+        )
+
+        a = self.args
+        kernels: List[Kernel] = []
+        if a.random_effects:
+            table = {}
+            with open(a.random_effects) as fh:
+                for line_no, line in enumerate(fh):
+                    parts = line.split()
+                    if not parts or (line_no == 0 and parts[0].upper() == "FID"):
+                        continue
+                    table[parts[0] + "@" + parts[1]] = parts[1 + a.random_effects_cols]
+            keys = [k for k in base_kernel.individual_keys if k in table]
+            env = kernel_from_discrete(
+                "RE1", keys, [table[k] for k in keys]
+            )
+            kernels.append(env)
+            if a.gxe:
+                kernels.append(
+                    base_kernel.filter_individuals(keys).interaction(env, "GxE")
+                )
+        if a.multirandom_effects:
+            table = {}
+            with open(a.multirandom_effects) as fh:
+                for line_no, line in enumerate(fh):
+                    parts = line.split()
+                    if not parts or (line_no == 0 and parts[0].upper() == "FID"):
+                        continue
+                    table[parts[0] + "@" + parts[1]] = parts[2].split(",")
+            keys = [k for k in base_kernel.individual_keys if k in table]
+            kernels.append(
+                kernel_from_multi_discrete("MRE1", keys, [table[k] for k in keys])
+            )
+        if a.sqrt_exp_coord_files:
+            coords, keys = [], []
+            with open(a.sqrt_exp_coord_files) as fh:
+                for line_no, line in enumerate(fh):
+                    parts = line.split()
+                    if not parts or (line_no == 0 and parts[0].upper() == "FID"):
+                        continue
+                    keys.append(parts[0] + "@" + parts[1])
+                    coords.append([float(v) for v in parts[2:]])
+            kernels.append(
+                kernel_squared_exponential("SEK-1", keys, np.asarray(coords))
+            )
+        return kernels
+
     def make_reml(self):
         """--reml (analysis.cpp:137-157, singlereml.cpp:56-228)."""
+        from dissect_tpu.runtime.checkpoint import read_initial_variances
+
         a = self.args
         kern = self.load_grm()
-        if a.diagonalize:
-            kern0 = kern
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
-        driver = SingleREML([kern], pheno, covar, self.options.reml_options())
+        kernels = [kern] + self.extra_kernels(kern)
+        driver = SingleREML(kernels, pheno, covar, self.options.reml_options())
+
+        initial_variances = None
+        if a.initial_variances:
+            initial_variances = read_initial_variances(a.initial_variances)
+        elif a.subsample_replicates > 0:
+            initial_variances = driver.subsample_prefit(
+                a.subsample_replicates, a.subsample_proportion, a.random_seed
+            )
         out = driver.compute(
             compute_blue=True,
             compute_blup=a.indiv_blup,
+            initial_variances=initial_variances,
+            checkpoint_path=a.checkpoint,
         )
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
         if a.blue and out.blue is not None:

@@ -198,7 +198,11 @@ class REMLEngine:
         n = float(self.dimension)
         return (n * theta + theta * theta * grad_full) / n
 
-    def fit(self, initial_theta: Optional[np.ndarray] = None) -> REMLResult:
+    def fit(
+        self,
+        initial_theta: Optional[np.ndarray] = None,
+        checkpoint_path: Optional[str] = None,
+    ) -> REMLResult:
         opts = self.options
         theta = np.array(
             self.model.initial_theta() if initial_theta is None else initial_theta,
@@ -210,6 +214,19 @@ class REMLEngine:
 
         log_likelihood = -1e50
         rel_diff = np.inf
+        start_iteration = 0
+        if checkpoint_path is not None:
+            from dissect_tpu.runtime.checkpoint import REMLCheckpoint
+
+            ckpt = REMLCheckpoint.load(checkpoint_path)
+            if ckpt is not None and ckpt.variance_names == names:
+                theta = ckpt.theta.copy()
+                log_likelihood = ckpt.log_likelihood
+                rel_diff = ckpt.rel_diff
+                start_iteration = ckpt.iteration
+                self.log.message(
+                    f"Resuming REML from checkpoint at iteration {start_iteration}"
+                )
         success = True
         warnings: List[str] = []
         constrained: List[str] = []
@@ -222,7 +239,7 @@ class REMLEngine:
         sreml = "ML" if opts.use_ml else "REML"
         self.log.message(f"Starting {sreml} iterations...")
 
-        for it in range(opts.max_iterations):
+        for it in range(start_iteration, opts.max_iterations):
             n_iter = it + 1
             em_step = (it == 0 and opts.first_step_em and not opts.use_ml) or (
                 opts.reml_method_em and not opts.use_ml
@@ -332,6 +349,17 @@ class REMLEngine:
                 + " ".join(f"{t:.6g}" for t in theta)
                 + (f"  ({n_constrained} constrained)" if n_constrained else "")
             )
+
+            if checkpoint_path is not None:
+                from dissect_tpu.runtime.checkpoint import REMLCheckpoint
+
+                REMLCheckpoint(
+                    iteration=n_iter,
+                    theta=theta,
+                    log_likelihood=log_likelihood,
+                    variance_names=names,
+                    rel_diff=rel_diff,
+                ).save(checkpoint_path)
 
             # convergence (reml.cpp:1687-1737)
             ll_converged = (ll_diff < 1e-4) and (ll_diff > -1e-2)

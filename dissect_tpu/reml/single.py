@@ -109,6 +109,8 @@ class SingleREML:
         compute_blup: bool = False,
         compute_residuals: bool = False,
         weights: Optional[Sequence[float]] = None,
+        initial_variances: Optional[dict] = None,
+        checkpoint_path: Optional[str] = None,
     ) -> SingleREMLOutput:
         pheno_var = initial_residual_variance(self.y, self.x)
         if self.diagonal:
@@ -125,8 +127,17 @@ class SingleREML:
             n_traits=1,
             diagonal=self.diagonal,
         )
+        if initial_variances is not None:
+            # --initial-variances / subsample seeding by name
+            # (setVarianceInitialValuesFromFile, covariancematrix.cpp:1689)
+            theta0 = model.initial_theta()
+            vnames = model.variance_names()
+            for nm, val in initial_variances.items():
+                if nm in vnames:
+                    theta0[vnames.index(nm)] = val
+            initial_theta = theta0
         engine = REMLEngine(model, self.y, self.x, self.options)
-        result = engine.fit(initial_theta)
+        result = engine.fit(initial_theta, checkpoint_path=checkpoint_path)
 
         theta = result.variances
         var_idx = list(range(len(theta)))
@@ -165,6 +176,47 @@ class SingleREML:
         self.engine = engine
         self.model = model
         return out
+
+    def subsample_prefit(
+        self,
+        n_replicates: int,
+        proportion: float = 0.2,
+        seed: int = 1,
+        minimum: int = 100,
+    ) -> Optional[dict]:
+        """Estimate starting variances from REML fits on random
+        subsamples (computeREMLInSubsample intent, singlereml.cpp:549-630
+        — disabled in the reference; here functional): fitted variances
+        are averaged across replicates, rescaled per-group is skipped
+        since subsampling preserves variance scales."""
+        n = len(self.individual_keys)
+        size = max(int(n * proportion), minimum)
+        if 3 * minimum > n or size >= n:
+            return None  # too few individuals (singlereml.cpp:555-561)
+        rng = np.random.default_rng(seed)
+        sums: Dict[str, float] = {}
+        count = 0
+        for _ in range(n_replicates):
+            idx = np.sort(rng.choice(n, size=size, replace=False))
+            keys = [self.individual_keys[i] for i in idx]
+            kernels = [k.filter_individuals(keys) for k in self.kernels]
+            mats = [np.asarray(k.dense(), dtype=np.float64) for k in kernels]
+            pheno_var = initial_residual_variance(self.y[idx], self.x[idx])
+            model = build_variance_model(
+                mats,
+                [k.name for k in kernels],
+                [pheno_var],
+                [self.options.initial_h2],
+            )
+            engine = REMLEngine(model, self.y[idx], self.x[idx], self.options)
+            res = engine.fit()
+            if res.success:
+                count += 1
+                for nm, v in zip(res.variance_names, res.variances):
+                    sums[nm] = sums.get(nm, 0.0) + v
+        if count == 0:
+            return None
+        return {nm: s / count for nm, s in sums.items()}
 
     def compute_with_reduced_models(
         self,

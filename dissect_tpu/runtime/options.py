@@ -119,6 +119,26 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--snp-blup", action="store_true", help="write per-SNP BLUP effects")
     reml.add_argument("--reml-method-em", action="store_true")
     reml.add_argument("--weights", help="kernel weights file")
+    reml.add_argument("--random-effects", help="FID IID category file adding a "
+                      "discrete random-effect kernel (--random-effects)")
+    reml.add_argument("--random-effects-cols", type=int, default=1)
+    reml.add_argument("--multirandom-effects", help="FID IID categories file "
+                      "adding a multi-category random-effect kernel")
+    reml.add_argument("--sqrt-exp-coord-files", help="coordinate file adding a "
+                      "squared-exponential kernel")
+    reml.add_argument("--gxe", action="store_true",
+                      help="add a GRM x environment interaction kernel "
+                      "(requires --random-effects)")
+    reml.add_argument("--initial-variances", help="seed variances from a prior "
+                      "fit's 'name value' file")
+    reml.add_argument("--checkpoint", help="REML checkpoint file for "
+                      "preemption-safe resume")
+    reml.add_argument("--subsample-replicates", type=int, default=0,
+                      help="pre-fit on random subsamples to seed initial "
+                      "variances (options.h:124-127)")
+    reml.add_argument("--subsample-proportion", type=float, default=0.2)
+    reml.add_argument("--fix-correlation", type=float, default=None,
+                      help="refit with the genetic correlation fixed and LRT")
 
     gwas = p.add_argument_group("gwas")
     gwas.add_argument("--igwas-covar", help="discrete covariates tested by inverse GWAS")
