@@ -560,6 +560,61 @@ class Analysis:
         self.log.message(f"GLMM results stored at [ {a.out}.glmm ]")
         return result
 
+    def make_filter_matrix(self):
+        """--filter-matrix (makeFilterLabeledMatrix): subset a stored
+        LabeledMatrix by row/column label files."""
+        a = self.args
+        if not (a.imatrix and a.row_labels and a.col_labels):
+            raise ValueError(
+                "--imatrix, --row-labels and --col-labels are required with "
+                "--filter-matrix (options.cpp:1609)"
+            )
+        if a.imatrix == a.out:
+            raise ValueError("input and output prefixes are the same")
+        lm = LabeledMatrix.load(a.imatrix)
+        with open(a.row_labels) as fh:
+            rows = [l.strip() for l in fh if l.strip()]
+        with open(a.col_labels) as fh:
+            cols = [l.strip() for l in fh if l.strip()]
+        lm.filter(keep_rows=rows, keep_cols=cols).save(a.out)
+        self.log.message(f"filtered matrix stored at [ {a.out}.* ]")
+
+    def make_add_grms(self):
+        """--add-grms: sum GRMs from --grm-list via the denormalize/add
+        kernel algebra (addGRMs, kernel.cpp:1705)."""
+        a = self.args
+        if not a.grm_list:
+            raise ValueError("--add-grms requires --grm-list")
+        with open(a.grm_list) as fh:
+            prefixes = [l.strip() for l in fh if l.strip()]
+        kernels = []
+        for prefix in prefixes:
+            loaded = grm_io.read_grm(prefix)
+            kernels.append(
+                Kernel(
+                    name="GRM",
+                    type=KernelType.GRM,
+                    individual_keys=loaded["individual_keys"],
+                    snp_names=loaded["snp_names"],
+                    matrix=jnp.asarray(loaded["kernel"]),
+                    counts=jnp.asarray(loaded["counts"]),
+                )
+            )
+        common = kernels[0].individual_keys
+        for k in kernels[1:]:
+            common = intersection_keeping_order(common, k.individual_keys)
+        total = kernels[0].filter_individuals(common)
+        for k in kernels[1:]:
+            total = total.add(k.filter_individuals(common))
+        grm_io.write_grm(
+            a.out,
+            np.asarray(total.matrix, dtype=np.float64),
+            np.asarray(total.counts, dtype=np.float64),
+            total.individual_keys,
+            total.snp_names,
+        )
+        self.log.message(f"summed GRM stored at [ {a.out}.grm.* ]")
+
     def make_snp_stats(self):
         """--snp-stats."""
         a = self.args
@@ -592,6 +647,8 @@ class Analysis:
             "iGWAS": self.make_igwas,
             "recursiveGWAS": self.make_recursive_gwas,
             "GLMM": self.make_glmm,
+            "filterMatrix": self.make_filter_matrix,
+            "addGRMs": self.make_add_grms,
         }
         if self.options.analysis is None:
             raise ValueError("no analysis specified (e.g. --make-grm, --reml, --gwas)")

@@ -185,3 +185,90 @@ class MultiREML:
         self.engine = engine
         self.model = model
         return out
+
+    def compute_with_fixed_correlation(
+        self,
+        kernel_name: str,
+        fixed_value: float,
+        traits: tuple = (1, 2),
+        full_output: Optional[MultiREMLOutput] = None,
+    ):
+        """Refit with the cross-trait correlation of `kernel_name` fixed
+        and LRT against the full model (--fix-correlation,
+        options.h:117-118; restrictedCovariances loop,
+        reml.cpp:1370-1460; p = 0.5 * chi2_1).
+
+        The fixed correlation folds into the cross element's constant
+        factor: element = r_fixed * sqrt(Var_p1 Var_p2) * K, and the
+        free Cor/Covar parameter is removed.
+        """
+        from dissect_tpu.model.covariance import VarianceTransform
+
+        if full_output is None:
+            full_output = self.compute(compute_blue=False)
+        if not full_output.result.success:
+            return full_output, None
+
+        j, l = traits
+        cov_name = (
+            f"Cor({kernel_name}_p{j}-{l})"
+            if self.use_correlations
+            else f"Covar({kernel_name}_p{j}-{l})"
+        )
+        model = self.model
+        reduced = model.delete_subcovariance("__none__")  # deep copy
+        # remove the covariance/correlation parameter and re-express the
+        # cross element with the fixed value folded into the factor
+        if cov_name not in reduced._variance_index:
+            raise ValueError(f"{cov_name} not in model")
+        element_name = f"{kernel_name}_{j}_{l}"
+        for e in reduced.elements:
+            if e.name == element_name:
+                e.factor = fixed_value
+                e.variance_factors = [
+                    (f"Var({kernel_name}_p{j})", VarianceTransform.SQRT),
+                    (f"Var({kernel_name}_p{l})", VarianceTransform.SQRT),
+                ]
+        # drop the now-unused parameter by rebuilding without it
+        kept = [v for v in reduced.variances if v.name != cov_name]
+        rebuilt = model.__class__(reduced.n, reduced.n_traits, reduced.diagonal)
+        rebuilt.group_magnitudes = dict(reduced.group_magnitudes)
+        for v in kept:
+            rebuilt.insert_variance(v.name, v.group, v.type, v.effect, v.initial_value)
+        for nm, m in reduced.matrices.items():
+            rebuilt.insert_matrix(nm, m)
+        for e in reduced.elements:
+            ne = rebuilt.insert_element(
+                e.subcovariance_id, e.name, e.matrix_name, e.block, e.factor
+            )
+            ne.variance_factors = [
+                (vn, t) for vn, t in e.variance_factors if vn != cov_name
+            ]
+        # seed from the full fit
+        full_theta = dict(
+            zip(full_output.result.variance_names, full_output.result.variances)
+        )
+        init = np.array(
+            [full_theta.get(nm, v.initial_value)
+             for nm, v in zip(rebuilt.variance_names(), rebuilt.variances)]
+        )
+        import dataclasses as _dc
+
+        opts = _dc.replace(self.options, first_step_em=False)
+        engine = REMLEngine(rebuilt, self.y, self.x, opts)
+        res = engine.fit(init)
+        lrt = {
+            "fixed": cov_name,
+            "value": fixed_value,
+            "log_likelihood": res.log_likelihood,
+            "lrt": max(
+                2.0 * (full_output.result.log_likelihood - res.log_likelihood), 0.0
+            ),
+            "p_value": lrt_p_value(
+                full_output.result.log_likelihood, res.log_likelihood, 1
+            )
+            if res.success
+            else float("nan"),
+            "converged": res.success,
+        }
+        return full_output, lrt

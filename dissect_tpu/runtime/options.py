@@ -54,6 +54,8 @@ ANALYSES = [
     ("--glmm", "GLMM", "logistic mixed model (experimental)"),
     ("--snp-stats", "snpStats", "per-SNP allele statistics"),
     ("--accuracy-by-snp", "accuracyBySNP", "prediction accuracy vs SNP removal"),
+    ("--filter-matrix", "filterMatrix", "filter a labeled matrix by row/col label files"),
+    ("--add-grms", "addGRMs", "sum the GRMs in --grm-list into one"),
 ]
 
 
@@ -162,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
     sim.add_argument("--prevalence", type=_ranged(float, 0.0, 1.0), default=0.1)
     sim.add_argument("--snp-effects", help="SNP effect file for prediction")
     sim.add_argument("--random-seed", type=int, default=1)
+
+    lm = p.add_argument_group("labeled-matrix")
+    lm.add_argument("--imatrix", help="input labeled-matrix prefix for --filter-matrix")
+    lm.add_argument("--row-labels", help="file of row labels to keep")
+    lm.add_argument("--col-labels", help="file of column labels to keep")
 
     misc = p.add_argument_group("misc")
     misc.add_argument("--verbose", action="store_true")

@@ -1,0 +1,121 @@
+"""Tests: fixed-correlation refit, HetVector, filter-matrix, add-grms."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import make_dosage, make_plink
+
+
+class TestFixedCorrelation:
+    def test_lrt_on_strong_correlation(self, rng):
+        from dissect_tpu.io.phenotype import Phenotype
+        from dissect_tpu.model.kernels import Kernel, KernelType
+        from dissect_tpu.reml.multi import MultiREML
+
+        n = 300
+        m = 4 * n
+        z = rng.normal(size=(m, n))
+        k = z.T @ z / m
+        keys = [f"F{i}@I{i}" for i in range(n)]
+        el = np.linalg.cholesky(k + 1e-8 * np.eye(n))
+        g = el @ rng.normal(size=n)  # fully shared genetics: rg = 1
+        y1 = g * np.sqrt(0.6) + rng.normal(size=n) * np.sqrt(0.4)
+        y2 = g * np.sqrt(0.6) + rng.normal(size=n) * np.sqrt(0.4)
+        kern = Kernel(name="GRM", type=KernelType.GRM, individual_keys=keys,
+                      matrix=jnp.asarray(k))
+        driver = MultiREML(
+            [kern],
+            [Phenotype(keys=keys, values=y1, column=1),
+             Phenotype(keys=keys, values=y2, column=2)],
+        )
+        full = driver.compute(compute_blue=False)
+        assert full.result.success
+        # fixing rg = 0 must be strongly rejected when true rg = 1
+        _, lrt0 = driver.compute_with_fixed_correlation("GRM", 0.0, full_output=full)
+        assert lrt0["converged"]
+        assert lrt0["p_value"] < 0.01
+        # fixing rg = 1 (the truth) should NOT be rejected
+        _, lrt1 = driver.compute_with_fixed_correlation("GRM", 1.0, full_output=full)
+        assert lrt1["converged"]
+        assert lrt1["p_value"] > 0.01
+
+
+class TestHetVector:
+    def test_alignment(self, tmp_path, rng):
+        from dissect_tpu.io.covariate import read_covariates
+        from dissect_tpu.io.hetvector import HetVector
+
+        dosage = make_dosage(rng, 10, 6)
+        _, data = make_plink(tmp_path, dosage)
+        qc = tmp_path / "q.txt"
+        with open(qc, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {float(i)}\n")
+        cov = read_covariates(quantitative_path=str(qc))
+        hv = HetVector()
+        hv.insert("geno", data)
+        hv.insert("covar", cov)
+        keys = data.individual_keys[::-1][:4]
+        g = hv.matrix_for("geno", keys)
+        c = hv.matrix_for("covar", keys)
+        assert g.shape == (4, 10)
+        assert c.shape == (4, 2)
+        # covariate column reflects the reversed order
+        np.testing.assert_allclose(c[:, 1], [5.0, 4.0, 3.0, 2.0])
+
+
+class TestFilterMatrixCli:
+    def test_filter(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+        from dissect_tpu.io.labeled_matrix import LabeledMatrix
+
+        lm = LabeledMatrix(
+            ["r1", "r2", "r3"], ["c1", "c2"], rng.normal(size=(3, 2))
+        )
+        lm.save(str(tmp_path / "in"))
+        (tmp_path / "rows.txt").write_text("r3\nr1\n")
+        (tmp_path / "cols.txt").write_text("c2\n")
+        main([
+            "--filter-matrix", "--imatrix", str(tmp_path / "in"),
+            "--row-labels", str(tmp_path / "rows.txt"),
+            "--col-labels", str(tmp_path / "cols.txt"),
+            "--out", str(tmp_path / "out"),
+        ])
+        out = LabeledMatrix.load(str(tmp_path / "out"))
+        assert out.row_labels == ["r3", "r1"]
+        assert out.col_labels == ["c2"]
+        assert out.values[0, 0] == pytest.approx(lm.values[2, 1])
+
+
+class TestAddGrmsCli:
+    def test_sum(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+        from dissect_tpu.io import grm_io
+        from dissect_tpu.model.kernels import grm_from_plink
+
+        n = 20
+        d1 = make_dosage(rng, 30, n)
+        d2 = make_dosage(rng, 40, n)
+        _, data1 = make_plink(tmp_path, d1, prefix="a")
+        _, data2 = make_plink(tmp_path, d2, prefix="b")
+        # rename b's snps to avoid collision
+        for i, s in enumerate(data2.snps):
+            s.name = f"bsnp{i}"
+        k1 = grm_from_plink(data1, dtype=jnp.float64)
+        k2 = grm_from_plink(data2, dtype=jnp.float64)
+        grm_io.write_grm(str(tmp_path / "g1"), np.asarray(k1.matrix),
+                         np.asarray(k1.counts), k1.individual_keys, k1.snp_names)
+        grm_io.write_grm(str(tmp_path / "g2"), np.asarray(k2.matrix),
+                         np.asarray(k2.counts), k2.individual_keys, k2.snp_names)
+        (tmp_path / "list.txt").write_text(
+            f"{tmp_path / 'g1'}\n{tmp_path / 'g2'}\n"
+        )
+        main([
+            "--add-grms", "--grm-list", str(tmp_path / "list.txt"),
+            "--out", str(tmp_path / "sum"),
+        ])
+        loaded = grm_io.read_grm(str(tmp_path / "sum"))
+        expected = np.asarray(k1.add(k2).matrix)
+        np.testing.assert_allclose(loaded["kernel"], expected, rtol=1e-10)
+        assert len(loaded["snp_names"]) == 70
