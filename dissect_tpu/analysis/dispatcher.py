@@ -203,6 +203,23 @@ class Analysis:
             kernels.append(
                 kernel_from_multi_discrete("MRE1", keys, [table[k] for k in keys])
             )
+        if a.indirect_effects_couples:
+            from dissect_tpu.model.kernels import couples_kernel
+
+            couples = {}
+            with open(a.indirect_effects_couples) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) >= 4:
+                        couples[parts[0] + "@" + parts[1]] = parts[2] + "@" + parts[3]
+            coup = couples_kernel(base_kernel, couples)
+            if coup is not None:
+                kernels.append(coup)
+            else:
+                self.log.message(
+                    "WARNING: not enough coupled individuals; indirect-effects "
+                    "kernel skipped"
+                )
         if a.sqrt_exp_coord_files:
             coords, keys = [], []
             with open(a.sqrt_exp_coord_files) as fh:

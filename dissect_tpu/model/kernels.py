@@ -258,6 +258,38 @@ def kernel_from_discrete(
     )
 
 
+def couples_kernel(kernel: Kernel, couples: Dict[str, str]) -> Optional[Kernel]:
+    """Indirect-effects kernel: relatedness of each individual's partner,
+    relabeled with the original ids — K'[i, j] = K[partner(i), partner(j)]
+    (introduceResortedGRMsByCouples, auxiliar.cpp:961-1040).
+
+    `couples` maps FID@IID -> partner FID@IID.  Individuals without a
+    partner present in the kernel are dropped; returns None when fewer
+    than a quarter of the kernel's individuals survive
+    (auxiliar.cpp:998-1002).
+    """
+    present = set(kernel.individual_keys)
+    kept_keys: List[str] = []
+    partner_keys: List[str] = []
+    for key in kernel.individual_keys:
+        partner = couples.get(key)
+        if partner is None or partner not in present:
+            continue
+        kept_keys.append(key)
+        partner_keys.append(partner)
+    if len(kept_keys) * 4 <= kernel.n:
+        return None
+    resorted = kernel.filter_individuals(partner_keys)
+    return Kernel(
+        name="coup" + kernel.name,
+        type=kernel.type,
+        individual_keys=kept_keys,  # relabel with the original ids
+        matrix=resorted.matrix,
+        counts=resorted.counts,
+        snp_names=list(kernel.snp_names),
+    )
+
+
 def kernel_from_multi_discrete(
     name: str, keys: List[str], category_sets: Sequence[Sequence[str]]
 ) -> Kernel:

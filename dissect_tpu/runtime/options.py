@@ -141,6 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--subsample-proportion", type=float, default=0.2)
     reml.add_argument("--fix-correlation", type=float, default=None,
                       help="refit with the genetic correlation fixed and LRT")
+    reml.add_argument("--indirect-effects-couples",
+                      help="4-column couples file (FID1 IID1 FID2 IID2) adding "
+                      "partner-resorted GRMs for indirect genetic effects")
 
     gwas = p.add_argument_group("gwas")
     gwas.add_argument("--igwas-covar", help="discrete covariates tested by inverse GWAS")

@@ -119,3 +119,36 @@ class TestAddGrmsCli:
         expected = np.asarray(k1.add(k2).matrix)
         np.testing.assert_allclose(loaded["kernel"], expected, rtol=1e-10)
         assert len(loaded["snp_names"]) == 70
+
+
+class TestCouplesKernel:
+    def test_partner_resorting(self, rng):
+        from dissect_tpu.model.kernels import Kernel, KernelType, couples_kernel
+
+        n = 8
+        a = rng.normal(size=(n, n))
+        k = a @ a.T
+        keys = [f"F{i}@I{i}" for i in range(n)]
+        kern = Kernel(name="GRM", type=KernelType.GRM, individual_keys=keys,
+                      matrix=jnp.asarray(k))
+        # pair i with i+1 (even i)
+        couples = {keys[i]: keys[i + 1] for i in range(0, n, 2)}
+        coup = couples_kernel(kern, couples)
+        assert coup is not None
+        assert coup.name == "coupGRM"
+        # labeled with the FIRST member of each couple
+        assert coup.individual_keys == [keys[i] for i in range(0, n, 2)]
+        # values come from the PARTNERS' relatedness
+        partners = [i + 1 for i in range(0, n, 2)]
+        np.testing.assert_allclose(
+            np.asarray(coup.matrix), k[np.ix_(partners, partners)]
+        )
+
+    def test_too_few_couples(self, rng):
+        from dissect_tpu.model.kernels import Kernel, KernelType, couples_kernel
+
+        n = 8
+        keys = [f"F{i}@I{i}" for i in range(n)]
+        kern = Kernel(name="GRM", type=KernelType.GRM, individual_keys=keys,
+                      matrix=jnp.asarray(np.eye(n)))
+        assert couples_kernel(kern, {keys[0]: keys[1]}) is None
