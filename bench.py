@@ -16,15 +16,72 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _secondary_metrics(latency: float, deadline: float):
+    """One dense AI-REML quantities step (n=4096) + exact ML-refit GWAS
+    throughput (reml.cpp:2286-2498 / gwas.cpp:787-914 analogs).
+    Skipped piecewise when the wall-clock `deadline` has passed (remote
+    compiles through the chip tunnel can be slow/congested)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dissect_tpu.gwas.mlm import _ml_refit_core
+    from dissect_tpu.reml.builders import build_variance_model
+    from dissect_tpu.reml.engine import REMLEngine
+
+    n, m = 4096, 8192
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(n, 256)).astype(np.float32)
+    k = (a @ a.T / 256 + 0.1 * np.eye(n)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    x = np.ones((n, 1), np.float32)
+
+    if time.time() > deadline - 120:
+        return None, None
+    model = build_variance_model([k], ["GRM"], [1.0], [0.5])
+    eng = REMLEngine(model, y, x, dtype=jnp.float32)
+    float(eng._quantities(jnp.asarray([0.5, 0.5], jnp.float32))["ytpy"])
+    ts = []
+    for i in range(3):
+        th = jnp.asarray([0.5 + 0.01 * i, 0.5], jnp.float32)
+        t0 = time.perf_counter()
+        float(eng._quantities(th)["ytpy"])
+        ts.append(time.perf_counter() - t0)
+    reml_ms = round((min(ts) - latency) * 1e3, 2)
+
+    if time.time() > deadline - 120:
+        return reml_ms, None
+    w, u = np.linalg.eigh(k.astype(np.float64))
+    g_rot = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32)) @ jnp.asarray(
+        u.astype(np.float32)
+    )
+    y_rot = jnp.asarray(u.T.astype(np.float32) @ y)
+    x_rot = jnp.asarray(u.T.astype(np.float32) @ x)
+    lam = jnp.asarray(w.astype(np.float32))
+    theta0 = jnp.asarray([0.5, 0.5], jnp.float32)
+    float(jnp.sum(_ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, 15)[0]))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = _ml_refit_core(
+            g_rot * (1 + 1e-4 * i), y_rot, x_rot, lam, theta0, 15
+        )
+        float(jnp.sum(out[0]))
+        ts.append(time.perf_counter() - t0)
+    snps_per_sec = round(m / max(min(ts) - latency, 1e-9))
+    return reml_ms, snps_per_sec
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "420"))
     n = 8192  # individuals
     chunk = 4096  # SNPs per accumulation step
     k_chunks = 16  # chained steps per timed call
@@ -82,6 +139,14 @@ def main():
     flops = k_chunks * 2 * 2.0 * chunk * n * n  # Z^T Z + O^T O
     tflops = flops / dt / 1e12
     v5e_bf16_peak = 197.0
+
+    # secondary metrics: one dense AI-REML quantities iteration and the
+    # exact per-SNP ML-refit mixed-model GWAS throughput
+    reml_ms = gwas_snps_per_sec = None
+    try:
+        reml_ms, gwas_snps_per_sec = _secondary_metrics(latency, deadline)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -95,6 +160,8 @@ def main():
                     "seconds": round(dt, 4),
                     "latency_correction_s": round(latency, 4),
                     "policy": "bf16-compute/fp32-accum",
+                    "reml_dense_iteration_ms_n4096": reml_ms,
+                    "mlm_ml_refit_snps_per_sec_n4096": gwas_snps_per_sec,
                     "baseline_note": (
                         "vs analytic v5e bf16 peak 197 TFLOP/s; "
                         "reference publishes no numbers"

@@ -64,6 +64,48 @@ def compute_regional(
     return results
 
 
+def compute_regional_multi(
+    data: PlinkData,
+    grouping: Dict[str, List[str]],
+    phenotypes,
+    covariates=None,
+    options: Optional[REMLOptions] = None,
+    grm: Optional[Kernel] = None,
+    use_correlations: bool = False,
+):
+    """Multi-trait regional REML (MultiREML::computeRegional,
+    multireml.cpp:139+): per region, the Global/Regional kernel pair is
+    fitted jointly across traits with cross-trait covariances."""
+    from dissect_tpu.reml.multi import MultiREML
+
+    options = options or REMLOptions()
+    log = get_logger()
+    if grm is None:
+        grm = grm_from_plink(data)
+    results: Dict[str, dict] = {}
+    for group, snps in grouping.items():
+        log.message(f"\nAnalysing region {group} (multi-trait)...")
+        regional_data = data.filter(keep_snps=snps)
+        regional = grm_from_plink(regional_data, name="Regional-GRM")
+        global_ = grm.add(regional, subtract=True)
+        global_.name = "Global-GRM"
+        proportion = len(snps) / data.n_snps
+        driver = MultiREML(
+            [global_, regional],
+            phenotypes,
+            covariates,
+            options,
+            use_correlations=use_correlations,
+        )
+        out = driver.compute(weights=[1.0 - proportion, proportion])
+        results[group] = {
+            "full": out,
+            "n_snps": len(snps),
+            "proportion": proportion,
+        }
+    return results
+
+
 def compute_multiple_groups(
     data: PlinkData,
     grouping: Dict[str, List[str]],
