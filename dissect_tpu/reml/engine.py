@@ -62,6 +62,11 @@ class REMLOptions:
     allow_fixing_variances_to_zero: bool = False  # options.cpp:249
     use_ml: bool = False  # ML instead of REML (GWAS internal fits)
     initial_h2: float = 0.5  # --init-h2 (options.cpp:108)
+    # second-derivatives matrix: the AI matrix with the crossed correction
+    # (the reference default, forceUseREMLAIWhenNoLinearCovariance=true,
+    # options.cpp:141) or the expected-information REML-F/ML-F matrix
+    # 0.5 tr(P dV_k P dV_l) (computeREMLFMatrix, reml.cpp:2053-2157)
+    use_f_matrix: bool = False
 
 
 @dataclasses.dataclass
@@ -127,14 +132,15 @@ class REMLEngine:
             else jnp.asarray(np.stack(y_list), dtype=dtype)
         )
         use_ml = self.options.use_ml
+        use_f = self.options.use_f_matrix
         if self.y_list is None:
             core = _blockdiag_quantities if self.cc.diagonal else _dense_quantities
             self._quantities = lambda theta: core(
-                self.cc, theta, self.y, self.x, use_ml
+                self.cc, theta, self.y, self.x, use_ml, use_f
             )
         else:
             self._quantities = lambda theta: _ylist_quantities(
-                self.cc, theta, self.y_list, self.x, use_ml
+                self.cc, theta, self.y_list, self.x, use_ml, use_f
             )
         # mutable fit state
         self.log = get_logger()
@@ -478,8 +484,34 @@ class REMLEngine:
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("use_ml",))
-def _dense_quantities(cc, theta, y, x, use_ml=False):
+def _placed_dense(cc, ei):
+    """Element ei as a dense (Tn, Tn) matrix in its trait-block placement."""
+    T, n = cc.n_traits, cc.n
+    m = cc.matrices[cc.matrix_ids[ei]]
+    if cc.diagonal:
+        m = jnp.diag(m)
+    ti, tj = cc.blocks[ei]
+    out = jnp.zeros((T, n, T, n), dtype=m.dtype)
+    out = out.at[ti, :, tj, :].add(m)
+    if ti != tj:
+        out = out.at[tj, :, ti, :].add(m.T)
+    return out.reshape(T * n, T * n)
+
+
+def _placed_blockdiag(cc, ei):
+    """Element ei as (n, T, T) per-individual blocks (diagonal mode)."""
+    T, n = cc.n_traits, cc.n
+    m = cc.matrices[cc.matrix_ids[ei]]
+    ti, tj = cc.blocks[ei]
+    out = jnp.zeros((n, T, T), dtype=m.dtype)
+    out = out.at[:, ti, tj].add(m)
+    if ti != tj:
+        out = out.at[:, tj, ti].add(m)
+    return out
+
+
+@_partial(jax.jit, static_argnames=("use_ml", "use_f_matrix"))
+def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     """Dense-V REML/ML quantities (aiREMLStep body, reml.cpp:2286-2498)."""
     T, n = cc.n_traits, cc.n
     v = cc.assemble_dense(theta)
@@ -508,12 +540,22 @@ def _dense_quantities(cc, theta, y, x, use_ml=False):
     a = cc.coefficient_jacobian(theta)  # (E, K)
     grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
     subvpy = jnp.einsum("ei,ek->ik", mpy, a)  # (Tn, K)
-    psubvpy = p @ subvpy
-    ai = 0.5 * subvpy.T @ psubvpy
-    # crossed second-derivative correction (reml.cpp:2159-2218)
-    h = cc.coefficient_hessian(theta)  # (E, K, K)
-    tr_p_e = cc.element_traces_dense(p) if use_ml else tr_e
-    ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
+    if use_f_matrix:
+        # expected information: F_kl = 0.5 tr(W dV_k W dV_l) with W = P
+        # (REML-F) or Vi (ML-F) — computeREMLFMatrix/computeMLFMatrix
+        w = vi if use_ml else p
+        wm = jnp.stack(
+            [w @ _placed_dense(cc, ei) for ei in range(cc.n_elements)]
+        )  # (E, Tn, Tn)
+        t_ef = jnp.einsum("eij,fji->ef", wm, wm)
+        ai = 0.5 * a.T @ t_ef @ a
+    else:
+        psubvpy = p @ subvpy
+        ai = 0.5 * subvpy.T @ psubvpy
+        # crossed second-derivative correction (reml.cpp:2159-2218)
+        h = cc.coefficient_hessian(theta)  # (E, K, K)
+        tr_p_e = cc.element_traces_dense(p) if use_ml else tr_e
+        ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
     return {
         "logdet_v": logdet_v,
         "logdet_xtvix": logdet_x,
@@ -531,8 +573,8 @@ def _dense_quantities(cc, theta, y, x, use_ml=False):
     }
 
 
-@_partial(jax.jit, static_argnames=("use_ml",))
-def _blockdiag_quantities(cc, theta, y, x, use_ml=False):
+@_partial(jax.jit, static_argnames=("use_ml", "use_f_matrix"))
+def _blockdiag_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     """Diagonal-V fast path: V as (n, T, T) per-individual blocks — the
     BlockMatrix replacement (reml.cpp:1896-1908, blockmatrix.h:32-124)."""
     T, n = cc.n_traits, cc.n
@@ -572,11 +614,24 @@ def _blockdiag_quantities(cc, theta, y, x, use_ml=False):
         bu = jnp.einsum("tic,ti->c", vix, u)
         return viu - jnp.einsum("sic,c->si", vix, xtvix_i @ bu)
 
-    psubvpy = jax.vmap(apply_p)(subvpy)
-    ai = 0.5 * jnp.einsum("kti,lti->kl", subvpy, psubvpy)
-    h = cc.coefficient_hessian(theta)
-    tr_p_e = cc.element_traces_blockdiag(p_blocks) if use_ml else tr_e
-    ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
+    if use_f_matrix:
+        # diagonal-path F uses the block-diagonal part of P, matching the
+        # reference's PDiagonal-based traces (computeREMLFMatrix with
+        # this->P == NULL)
+        w = vi if use_ml else p_blocks
+        em = jnp.stack(
+            [_placed_blockdiag(cc, ei) for ei in range(cc.n_elements)]
+        )  # (E, n, T, T)
+        # W (n,T,T) @ M_e (n,T,T) per individual: batched small matmuls
+        wm = jnp.einsum("nst,entu->ensu", w, em)
+        t_ef = jnp.einsum("ensu,fnus->ef", wm, wm)
+        ai = 0.5 * a.T @ t_ef @ a
+    else:
+        psubvpy = jax.vmap(apply_p)(subvpy)
+        ai = 0.5 * jnp.einsum("kti,lti->kl", subvpy, psubvpy)
+        h = cc.coefficient_hessian(theta)
+        tr_p_e = cc.element_traces_blockdiag(p_blocks) if use_ml else tr_e
+        ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
     return {
         "logdet_v": logdet_v,
         "logdet_xtvix": logdet_x,
@@ -594,14 +649,15 @@ def _blockdiag_quantities(cc, theta, y, x, use_ml=False):
     }
 
 
-@_partial(jax.jit, static_argnames=("use_ml",))
-def _ylist_quantities(cc, theta, y_list, x, use_ml=False):
+@_partial(jax.jit, static_argnames=("use_ml", "use_f_matrix"))
+def _ylist_quantities(cc, theta, y_list, x, use_ml=False, use_f_matrix=False):
     """Multi-sample mean likelihood (yList, reml.cpp:2296-2350): AI from
     the first sample, gradient / y'Py / AI averaged over samples."""
     core = _blockdiag_quantities if cc.diagonal else _dense_quantities
 
     def one(yy):
-        return core(cc, yy, x=x, theta=theta, use_ml=use_ml)
+        return core(cc, yy, x=x, theta=theta, use_ml=use_ml,
+                    use_f_matrix=use_f_matrix)
 
     outs = jax.vmap(lambda yy: one(yy))(y_list)
     first = jax.tree_util.tree_map(lambda o: o[0], outs)
