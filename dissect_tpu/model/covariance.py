@@ -69,6 +69,9 @@ class Variance:
     effect: EffectType
     initial_value: float
     fixed: bool = False
+    # PARAMETER-type entries stay fixed for the first N Newton steps
+    # (remlStepsToUnfixExpKernelParameter, options.cpp:143)
+    unfix_after: Optional[int] = None
     # indices of variances whose product bounds this covariance
     # (constrainedDependingOnProductOfi, covariancematrix.h:117)
     constrained_on_product_of: Set[int] = dataclasses.field(default_factory=set)
@@ -86,6 +89,10 @@ class Element:
         default_factory=list
     )
     subcovariance_id: str = ""  # named sub-covariance (e.g. "GRM", "E")
+    # inside-matrix parameter: the element matrix holds squared distances
+    # D and evaluates as exp(-theta_p * D) (applyExponentialOperator,
+    # covariancematrix.cpp:805; ParameterAttributes::insideMatrix)
+    parameter_name: Optional[str] = None
 
 
 class CovarianceModel:
@@ -166,6 +173,17 @@ class CovarianceModel:
         )
         self.elements.append(e)
         return e
+
+    def append_parameter_to_element(self, element_name: str, param_name: str):
+        """Attach an inside-matrix parameter (insideMatrix position,
+        covariancematrix.h:100-105): M_e(theta) = exp(-theta_p * D_e)."""
+        if param_name not in self._variance_index:
+            raise ValueError(f"unknown variance {param_name}")
+        for e in self.elements:
+            if e.name == element_name:
+                e.parameter_name = param_name
+                return
+        raise ValueError(f"unknown element {element_name}")
 
     def append_variance_to_element(
         self, element_name: str, variance_name: str, transform: VarianceTransform
@@ -248,10 +266,13 @@ class CovarianceModel:
         factors = np.zeros((E,), dtype=np.float64)
         blocks = np.zeros((E, 2), dtype=np.int32)
         mids = np.zeros((E,), dtype=np.int32)
+        pids = np.full((E,), -1, dtype=np.int32)
         for ei, e in enumerate(self.elements):
             factors[ei] = e.factor
             blocks[ei] = e.block
             mids[ei] = mat_index[e.matrix_name]
+            if e.parameter_name is not None:
+                pids[ei] = self._variance_index[e.parameter_name]
             for vn, transform in e.variance_factors:
                 powers[ei, self._variance_index[vn]] += transform.value
         return CompiledCovariance(
@@ -263,6 +284,7 @@ class CovarianceModel:
             blocks=tuple(map(tuple, blocks.tolist())),
             powers=jnp.asarray(powers),
             factors=jnp.asarray(factors),
+            param_ids=tuple(pids.tolist()),
         )
 
 
@@ -288,17 +310,19 @@ class CompiledCovariance:
     blocks: Tuple[Tuple[int, int], ...]
     powers: jax.Array  # (E, K)
     factors: jax.Array  # (E,)
+    param_ids: Tuple[int, ...] = ()  # inside-matrix parameter per element, -1 = none
 
     def tree_flatten(self):
         return (
             (self.matrices, self.powers, self.factors),
-            (self.n, self.n_traits, self.diagonal, self.matrix_ids, self.blocks),
+            (self.n, self.n_traits, self.diagonal, self.matrix_ids, self.blocks,
+             self.param_ids),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         matrices, powers, factors = children
-        n, n_traits, diagonal, matrix_ids, blocks = aux
+        n, n_traits, diagonal, matrix_ids, blocks, param_ids = aux
         return cls(
             n=n,
             n_traits=n_traits,
@@ -308,7 +332,21 @@ class CompiledCovariance:
             blocks=blocks,
             powers=powers,
             factors=factors,
+            param_ids=param_ids,
         )
+
+    @property
+    def has_matrix_params(self) -> bool:
+        return any(p >= 0 for p in self.param_ids)
+
+    def element_matrix(self, ei: int, theta: jax.Array) -> jax.Array:
+        """The (possibly theta-dependent) element matrix: raw M, or
+        exp(-theta_p * D) for squared-exponential elements."""
+        m = self.matrices[self.matrix_ids[ei]]
+        p = self.param_ids[ei] if self.param_ids else -1
+        if p >= 0:
+            m = jnp.exp(-theta[p] * m)
+        return m
 
     @property
     def n_elements(self) -> int:
@@ -346,7 +384,7 @@ class CompiledCovariance:
         T, n = self.n_traits, self.n
         v4 = jnp.zeros((T, n, T, n), dtype=self.matrices.dtype)
         for ei in range(self.n_elements):
-            m = self.matrices[self.matrix_ids[ei]]
+            m = self.element_matrix(ei, theta)
             if self.diagonal:
                 m = jnp.diag(m)
             ti, tj = self.blocks[ei]
@@ -364,7 +402,7 @@ class CompiledCovariance:
         T, n = self.n_traits, self.n
         v = jnp.zeros((n, T, T), dtype=self.matrices.dtype)
         for ei in range(self.n_elements):
-            m = self.matrices[self.matrix_ids[ei]]
+            m = self.element_matrix(ei, theta)
             ti, tj = self.blocks[ei]
             v = v.at[:, ti, tj].add(g[ei] * m)
             if ti != tj:

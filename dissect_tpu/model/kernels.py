@@ -314,17 +314,27 @@ def kernel_from_multi_discrete(
 
 
 def kernel_squared_exponential(
-    name: str, keys: List[str], coords: np.ndarray, length_scale: float = 1.0
+    name: str,
+    keys: List[str],
+    coords: np.ndarray,
+    length_scale: Optional[float] = None,
 ) -> Kernel:
-    """exp(-|x_i - x_j|^2 / (2 l^2)) from coordinates (kernel.cpp:742+).
+    """Squared-exponential kernel from coordinates (kernel.cpp:742+).
 
-    The reference stores squared distances and applies the parameterized
-    exponential later (applyExponentialOperator); the REML layer treats
-    the length scale as a ParameterAttributes::parameter.  Here the
-    kernel is materialized for a given scale; the parameterized path
-    re-materializes inside the covariance model.
+    With `length_scale=None` (the REML path) the kernel stores the
+    SQUARED DISTANCES D and the covariance model evaluates
+    exp(-alpha0 * D) with alpha0 a fitted ParameterAttributes::parameter
+    (applyExponentialOperator, covariancematrix.cpp:805).  With an
+    explicit length scale the exponential is materialized directly.
     """
     sq = ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
+    if length_scale is None:
+        return Kernel(
+            name=name,
+            type=KernelType.SQUARED_EXPONENTIAL,
+            individual_keys=list(keys),
+            matrix=jnp.asarray(sq),
+        )
     return Kernel(
         name=name,
         type=KernelType.SQUARED_EXPONENTIAL,

@@ -42,6 +42,8 @@ def build_variance_model(
     diagonal: bool = False,
     use_correlations: bool = False,
     environmental_covariance: bool = True,
+    parameter_kernels: Optional[Dict[str, float]] = None,
+    parameter_unfix_after: int = 8,
 ) -> CovarianceModel:
     """Assemble the CovarianceModel for k kernels x T traits.
 
@@ -52,7 +54,15 @@ def build_variance_model(
       Var(E_pj)            = phenoVar_j * (1 - h2_j)          (environment)
       Covar(E_pj-pk)       = 0.5*sqrt(initE_j * initE_k)      (environment)
     Single-trait names drop the _pj suffix (reml.cpp:1056-1062).
+
+    `parameter_kernels` maps squared-exponential kernel names to their
+    initial alpha0 (expKernelParameterInitialFactor / elementsAverage,
+    reml.cpp:1024-1028); their stored matrices hold squared distances D
+    and evaluate as exp(-alpha*D), with the parameter fixed for the
+    first `parameter_unfix_after` Newton steps
+    (remlStepsToUnfixExpKernelParameter, options.cpp:143).
     """
+    parameter_kernels = parameter_kernels or {}
     k = len(kernel_matrices)
     n = np.shape(kernel_matrices[0])[0]
     if weights is None:
@@ -86,6 +96,15 @@ def build_variance_model(
                 EffectType.GENETIC,
                 phenotype_variances[j] * heritabilities[j] * weights[i],
             )
+        if kname in parameter_kernels:
+            idx = model.insert_variance(
+                f"alpha0({kname})",
+                "Phenotype_1",
+                ParameterType.PARAMETER,
+                EffectType.OTHER,
+                parameter_kernels[kname],
+            )
+            model.variances[idx].unfix_after = parameter_unfix_after
         for j in range(n_traits):
             for l in range(j + 1, n_traits):
                 deps = [f"Var({kname}_p{j + 1})", f"Var({kname}_p{l + 1})"]
@@ -160,6 +179,8 @@ def build_variance_model(
             model.append_variance_to_element(
                 e.name, f"Var({kname}{suffix(j)})", VarianceTransform.NOCHANGE
             )
+            if kname in parameter_kernels:
+                model.append_parameter_to_element(e.name, f"alpha0({kname})")
             for l in range(j + 1, n_traits):
                 e = model.insert_element(
                     kname, f"{kname}_{j + 1}_{l + 1}", kname, (j, l)

@@ -134,7 +134,16 @@ class REMLEngine:
         use_ml = self.options.use_ml
         use_f = self.options.use_f_matrix
         if self.y_list is None:
-            core = _blockdiag_quantities if self.cc.diagonal else _dense_quantities
+            if self.cc.has_matrix_params:
+                if self.cc.diagonal:
+                    raise NotImplementedError(
+                        "parameterized kernels are dense-mode only"
+                    )
+                core = _dense_quantities_autodiff
+            else:
+                core = (
+                    _blockdiag_quantities if self.cc.diagonal else _dense_quantities
+                )
             self._quantities = lambda theta: core(
                 self.cc, theta, self.y, self.x, use_ml, use_f
             )
@@ -214,7 +223,14 @@ class REMLEngine:
             self.model.initial_theta() if initial_theta is None else initial_theta,
             dtype=np.float64,
         )
-        fixed = np.array([v.fixed for v in self.model.variances])
+        base_fixed = np.array([v.fixed for v in self.model.variances])
+        unfix_after = np.array(
+            [
+                v.unfix_after if v.unfix_after is not None else -1
+                for v in self.model.variances
+            ]
+        )
+        fixed = base_fixed | (unfix_after >= 0)
         names = self.model.variance_names()
         k = len(theta)
 
@@ -247,6 +263,9 @@ class REMLEngine:
 
         for it in range(start_iteration, opts.max_iterations):
             n_iter = it + 1
+            # unfix inside-matrix parameters after their step count
+            # (unfixVariancesAndParameters, reml.cpp:1684)
+            fixed = base_fixed | ((unfix_after >= 0) & (it < unfix_after))
             em_step = (it == 0 and opts.first_step_em and not opts.use_ml) or (
                 opts.reml_method_em and not opts.use_ml
             )
@@ -263,7 +282,9 @@ class REMLEngine:
             step_mods = ""
 
             if em_step:
-                theta = self._em_update(theta, grad_half)
+                new_theta = self._em_update(theta, grad_half)
+                new_theta[fixed] = theta[fixed]
+                theta = new_theta
                 delta_store = theta - old_theta
                 step_mods += "EM"
             else:
@@ -667,3 +688,59 @@ def _ylist_quantities(cc, theta, y_list, x, use_ml=False, use_f_matrix=False):
     out["ai"] = jnp.mean(outs["ai"], axis=0)
     out["finite"] = jnp.all(outs["finite"])
     return out
+
+
+@_partial(jax.jit, static_argnames=("use_ml",))
+def _dense_quantities_autodiff(cc, theta, y, x, use_ml=False, use_f_matrix=False):
+    """General dense core for theta-dependent element matrices
+    (squared-exponential kernels, applyExponentialOperator,
+    covariancematrix.cpp:780-960): dV/dtheta comes from jacfwd of the
+    whole assembly instead of the coefficient-Jacobian shortcut, so any
+    differentiable parameterization works."""
+    v = cc.assemble_dense(theta)
+    vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
+    vi, logdet_v, _ = jax.lax.cond(
+        ok_v,
+        lambda _: (vi_c, logdet_c, ok_v),
+        lambda _: lu_inverse_logdet(v),
+        operand=None,
+    )
+    vix = vi @ x
+    xtvix = x.T @ vix
+    xtvix_c, logdet_xc, ok_x = spd_inverse_logdet(xtvix)
+    xtvix_i, logdet_x, _ = jax.lax.cond(
+        ok_x,
+        lambda _: (xtvix_c, logdet_xc, ok_x),
+        lambda _: lu_inverse_logdet(xtvix),
+        operand=None,
+    )
+    p = vi - vix @ xtvix_i @ vix.T
+    py = p @ y
+    ytpy = y @ py
+
+    subvpy = jax.jacfwd(lambda th: cc.assemble_dense(th) @ py)(theta)  # (Tn, K)
+    w = vi if use_ml else p
+    tr_k = jax.jacfwd(lambda th: jnp.vdot(w, cc.assemble_dense(th)))(theta)
+    ypvpy_k = subvpy.T @ py
+    grad = 0.5 * (ypvpy_k - tr_k)
+    psubvpy = p @ subvpy
+    ai = 0.5 * subvpy.T @ psubvpy
+    # crossed second-derivative correction with full d2V
+    h_quad = jax.hessian(lambda th: py @ (cc.assemble_dense(th) @ py))(theta)
+    h_tr = jax.hessian(lambda th: jnp.vdot(p, cc.assemble_dense(th)))(theta)
+    ai = ai + 0.25 * (h_tr - h_quad)
+    return {
+        "logdet_v": logdet_v,
+        "logdet_xtvix": logdet_x,
+        "ytpy": ytpy,
+        "grad": grad,
+        "ai": ai,
+        "finite": jnp.isfinite(logdet_v)
+        & jnp.isfinite(ytpy)
+        & jnp.all(jnp.isfinite(grad))
+        & jnp.all(jnp.isfinite(ai)),
+        "py": py,
+        "vix": vix,
+        "xtvix_i": xtvix_i,
+        "vi": vi,
+    }

@@ -118,6 +118,17 @@ class SingleREML:
         else:
             mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]
         names = [k.name for k in self.kernels]
+        # squared-exponential kernels carry squared distances and a
+        # fitted alpha0 parameter (initial = 1/mean(D), the
+        # expKernelParameterInitialFactor/elementsAverage rule,
+        # reml.cpp:1024-1028)
+        from dissect_tpu.model.kernels import KernelType
+
+        parameter_kernels = {
+            k.name: 1.0 / max(float(np.mean(m)), 1e-12)
+            for k, m in zip(self.kernels, mats)
+            if k.type == KernelType.SQUARED_EXPONENTIAL and not self.diagonal
+        }
         model = build_variance_model(
             mats,
             names,
@@ -126,6 +137,7 @@ class SingleREML:
             weights=weights,
             n_traits=1,
             diagonal=self.diagonal,
+            parameter_kernels=parameter_kernels,
         )
         if initial_variances is not None:
             # --initial-variances / subsample seeding by name
@@ -139,8 +151,16 @@ class SingleREML:
         engine = REMLEngine(model, self.y, self.x, self.options)
         result = engine.fit(initial_theta, checkpoint_path=checkpoint_path)
 
+        from dissect_tpu.model.covariance import ParameterType
+
         theta = result.variances
-        var_idx = list(range(len(theta)))
+        # only VARIANCE-type parameters enter Var(P) (not covariances or
+        # inside-matrix parameters)
+        var_idx = [
+            i
+            for i, v in enumerate(model.variances)
+            if v.type == ParameterType.VARIANCE
+        ]
         genetic_idx = model.genetic_variance_indices()
         rows = [
             SummaryRow(nm, float(theta[i]), result.std_error(nm))
