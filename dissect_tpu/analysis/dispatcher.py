@@ -34,6 +34,27 @@ from dissect_tpu.runtime.options import Options
 from dissect_tpu.runtime.timers import timers
 
 
+def _dosage_array(data) -> np.ndarray:
+    """(M, N) dosages from PlinkData (method) or BgenData (attribute)."""
+    d = data.dosages
+    return d() if callable(d) else d
+
+
+def _centered_genotypes(data, stats=None) -> np.ndarray:
+    """Missing-zeroed mean-centered dosage rows, for both hard calls
+    (int8, -1 missing) and imputed dosages (float, NaN missing)."""
+    if stats is None:
+        stats = data.stats()
+    dosage = _dosage_array(data)
+    if np.issubdtype(dosage.dtype, np.floating):
+        observed = np.isfinite(dosage)
+        filled = np.where(observed, dosage, 0.0)
+    else:
+        observed = dosage >= 0
+        filled = np.where(observed, dosage, 0).astype(np.float64)
+    return np.where(observed, filled - stats.mean[:, None], 0.0)
+
+
 class Analysis:
     """One configured run: dispatches to the requested analysis."""
 
@@ -46,7 +67,11 @@ class Analysis:
     def load_genotype(self) -> PlinkData:
         """loadGenotypeUsingOptions parity (auxiliar.h:246-263)."""
         a = self.args
-        if a.bfile:
+        if a.bgen:
+            from dissect_tpu.io.bgen import read_bgen
+
+            data = read_bgen(a.bgen)
+        elif a.bfile:
             data = read_plink(a.bfile)
         elif a.bfile_list:
             with open(a.bfile_list) as fh:
@@ -55,7 +80,7 @@ class Analysis:
             for prefix in prefixes[1:]:
                 data = data.append_snps(read_plink(prefix))
         else:
-            raise ValueError("no genotype input (--bfile / --bfile-list)")
+            raise ValueError("no genotype input (--bfile / --bfile-list / --bgen)")
         keep_snps = keep_inds = None
         if a.extract:
             with open(a.extract) as fh:
@@ -98,13 +123,13 @@ class Analysis:
                     matrix=jnp.asarray(loaded["kernel"]),
                     counts=jnp.asarray(loaded["counts"]),
                 )
-        elif allow_compute and (a.bfile or a.bfile_list):
+        elif allow_compute and (a.bfile or a.bfile_list or a.bgen):
             data = self.load_genotype()
             kern = grm_from_plink(
                 data, flat_normalization=a.grm_flat_norm
             )
         else:
-            raise ValueError("no GRM input (--grm / --bfile)")
+            raise ValueError("no GRM input (--grm / --bfile / --bgen)")
         if a.grm_epi:
             kern = kern.epistatic()
         kern = kern.sanitize(self.args.min_overlap_snps)
@@ -342,11 +367,7 @@ class Analysis:
         x = covar.filter_individuals(common).matrix
 
         stats = data.stats()
-        dosage = data.dosages()
-        observed = dosage >= 0
-        z = np.where(observed, dosage, 0).astype(np.float64)
-        # center on the observed mean; missing -> 0 contribution
-        z = np.where(observed, z - stats.mean[:, None], 0.0)
+        z = _centered_genotypes(data, stats)
 
         if kern is not None:
             kern = kern.filter_individuals(common)
@@ -449,10 +470,7 @@ class Analysis:
         common = intersection_keeping_order(lm.row_labels, data.individual_keys)
         lm = lm.filter(keep_rows=common)
         data = data.filter(keep_individuals=common)
-        stats = data.stats()
-        dosage = data.dosages()
-        observed = dosage >= 0
-        z = np.where(observed, dosage - stats.mean[:, None], 0.0)
+        z = _centered_genotypes(data)
         res = mp_gwas(z, data.snp_names, lm)
         res.write(a.out)
         self.log.message(f"mpgwas results stored at [ {a.out}.mpgwas ]")
@@ -501,9 +519,7 @@ class Analysis:
         data = data.filter(keep_individuals=common)
         covar = covar.filter_individuals(common)
         stats = data.stats()
-        dosage = data.dosages()
-        observed = dosage >= 0
-        z = np.where(observed, dosage - stats.mean[:, None], 0.0)
+        z = _centered_genotypes(data, stats)
         v_inv = None
         if a.grm:
             kern = self.load_grm(allow_compute=False).filter_individuals(common)
@@ -530,8 +546,7 @@ class Analysis:
         y = np.array([pm[k] for k in common])
         x = covar.filter_individuals(common).matrix
         stats = data.stats()
-        dosage = data.dosages()
-        z = np.where(dosage >= 0, dosage - stats.mean[:, None], 0.0)
+        z = _centered_genotypes(data, stats)
         significant, results = recursive_gwas(
             z, data.snp_names, y, x,
             group_size=a.region_size,

@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from dissect_tpu.io.bed import IndividualInfo, SnpInfo
+from dissect_tpu.io.bed import IndividualInfo, SnpInfo, SnpStats
 
 
 @dataclasses.dataclass
@@ -43,17 +43,56 @@ class BgenData:
     def individual_keys(self) -> List[str]:
         return [ind.key for ind in self.individuals]
 
-    def stats(self):
-        """Per-variant mean and std of the dosage (genotypebgen.cpp
-        on-the-fly accumulation)."""
+    @property
+    def snp_names(self) -> List[str]:
+        return [s.name for s in self.snps]
+
+    def stats(self) -> SnpStats:
+        """Per-variant dosage statistics in SnpStats form so BGEN data
+        flows through the same GRM/GWAS pipeline as PLINK hard calls
+        (genotypebgen.cpp on-the-fly mean/std accumulation).  p2 is the
+        mean dosage / 2; std is the EMPIRICAL dosage std (the reference
+        uses sample std for imputed data, not sqrt(2p(1-p)))."""
         observed = ~np.isnan(self.dosages)
         n = observed.sum(axis=1)
         mean = np.nansum(self.dosages, axis=1) / np.maximum(n, 1)
-        var = (
-            np.nansum((self.dosages - mean[:, None]) ** 2, axis=1)
-            / np.maximum(n - 1, 1)
+        var = np.nansum(
+            np.where(observed, (self.dosages - mean[:, None]) ** 2, 0.0), axis=1
+        ) / np.maximum(n - 1, 1)
+        p2 = mean / 2.0
+        stats = SnpStats(
+            n_nonmissing=n, p1=1.0 - p2, p2=p2, std=np.sqrt(var)
         )
-        return mean, np.sqrt(var), n
+        return stats
+
+    # --- PlinkData-protocol compatibility ------------------------------------
+    def decode_chunk(self, start: int, stop: int) -> np.ndarray:
+        return self.dosages[start:stop]
+
+    def iter_chunks(self, chunk_size: int):
+        for start in range(0, self.n_snps, chunk_size):
+            stop = min(start + chunk_size, self.n_snps)
+            yield start, stop, self.dosages[start:stop]
+
+    def filter(self, keep_snps=None, keep_individuals=None) -> "BgenData":
+        snp_idx = np.arange(self.n_snps)
+        ind_idx = np.arange(self.n_individuals)
+        snps, individuals = self.snps, self.individuals
+        if keep_snps is not None:
+            index = {s.name: i for i, s in enumerate(self.snps)}
+            snp_idx = np.array([index[nm] for nm in keep_snps], dtype=np.int64)
+            snps = [self.snps[i] for i in snp_idx]
+        if keep_individuals is not None:
+            index = {ind.key: i for i, ind in enumerate(self.individuals)}
+            ind_idx = np.array(
+                [index[k] for k in keep_individuals], dtype=np.int64
+            )
+            individuals = [self.individuals[i] for i in ind_idx]
+        return BgenData(
+            snps=snps,
+            individuals=individuals,
+            dosages=self.dosages[np.ix_(snp_idx, ind_idx)],
+        )
 
 
 def _read_string(buf: memoryview, pos: int, len_bytes: int = 2) -> Tuple[str, int]:

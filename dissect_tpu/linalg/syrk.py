@@ -22,16 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
-def standardize_chunk(dosage_i8, mean, inv_std, dtype):
-    """GCTA standardization of an (M, N) int8 chunk: z = (d - 2p)/std.
+def standardize_chunk(dosage, mean, inv_std, dtype):
+    """GCTA standardization of an (M, N) chunk: z = (d - 2p)/std.
 
-    `mean` = 2 p2 and `inv_std` are per-SNP (M,) vectors; missing (-1)
-    maps to 0 so it contributes nothing to the Gram matrix (parity:
+    `mean` = 2 p2 and `inv_std` are per-SNP (M,) vectors; missing maps
+    to 0 so it contributes nothing to the Gram matrix (parity:
     genotype.cpp:943-961 where missing stays 0 after centering/scaling).
+    Integer chunks (PLINK hard calls) mark missing as -1; float chunks
+    (BGEN expected dosages, genotypebgen.cpp) mark missing as NaN.
     Returns (Z, observed) both in `dtype`.
     """
-    d = dosage_i8.astype(dtype)
-    observed = (dosage_i8 >= 0).astype(dtype)
+    if jnp.issubdtype(dosage.dtype, jnp.floating):
+        observed = jnp.isfinite(dosage).astype(dtype)
+        d = jnp.where(jnp.isfinite(dosage), dosage, 0).astype(dtype)
+    else:
+        observed = (dosage >= 0).astype(dtype)
+        d = dosage.astype(dtype)
     z = observed * (d - mean[:, None].astype(dtype)) * inv_std[:, None].astype(dtype)
     return z, observed
 
@@ -48,9 +54,9 @@ def syrk(z, accum_dtype=jnp.float32):
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "accum_dtype"))
-def grm_update(kernel, counts, dosage_i8, mean, inv_std, compute_dtype=jnp.float32, accum_dtype=jnp.float32):
+def grm_update(kernel, counts, dosage, mean, inv_std, compute_dtype=jnp.float32, accum_dtype=jnp.float32):
     """One accumulation step: kernel += Z_c^T Z_c, counts += O_c^T O_c."""
-    z, observed = standardize_chunk(dosage_i8, mean, inv_std, compute_dtype)
+    z, observed = standardize_chunk(dosage, mean, inv_std, compute_dtype)
     kernel = kernel + jax.lax.dot_general(
         z, z, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=accum_dtype,
@@ -83,9 +89,9 @@ class grm_accumulator:
         self.accum_dtype = accum_dtype
         self.compute_dtype = compute_dtype or dtype
 
-    def update(self, dosage_i8, mean, inv_std):
+    def update(self, dosage, mean, inv_std):
         self.kernel, self.counts = grm_update(
-            self.kernel, self.counts, jnp.asarray(dosage_i8),
+            self.kernel, self.counts, jnp.asarray(dosage),
             jnp.asarray(mean), jnp.asarray(inv_std),
             compute_dtype=self.compute_dtype, accum_dtype=self.accum_dtype,
         )

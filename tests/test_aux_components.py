@@ -42,10 +42,10 @@ class TestBgen:
             individuals=[IndividualInfo(f"s{i}", f"s{i}") for i in range(4)],
             dosages=d,
         )
-        mean, std, n = data.stats()
-        assert n[0] == 3
-        assert mean[0] == pytest.approx(1.0)
-        assert std[0] == pytest.approx(1.0)
+        stats = data.stats()
+        assert stats.n_nonmissing[0] == 3
+        assert stats.mean[0] == pytest.approx(1.0)
+        assert stats.std[0] == pytest.approx(1.0)
 
 
 class TestGctaGz:
@@ -150,3 +150,60 @@ class TestAccuracyBySnp:
         # leave-one-out accuracy should top the list
         assert res.loo_accuracies[bad] == max(res.loo_accuracies)
         assert res.filtered_accuracy >= res.total_accuracy - 1e-12
+
+
+class TestBgenPipeline:
+    def _bgen_cohort(self, tmp_path, rng, n=120, m=150):
+        from dissect_tpu.io.bed import IndividualInfo, SnpInfo
+        from dissect_tpu.io.bgen import BgenData, write_bgen
+
+        p = rng.uniform(0.1, 0.5, size=m)
+        hard = (rng.random((m, n)) < p[:, None]).astype(float) + (
+            rng.random((m, n)) < p[:, None]
+        ).astype(float)
+        noise = rng.uniform(-0.05, 0.05, size=(m, n))
+        dosage = np.clip(hard + noise, 0, 2).astype(np.float32)
+        data = BgenData(
+            snps=[SnpInfo("1", f"v{i}", 0.0, 100 + i, "A", "G") for i in range(m)],
+            individuals=[IndividualInfo(f"s{i}", f"s{i}") for i in range(n)],
+            dosages=dosage,
+        )
+        path = str(tmp_path / "cohort.bgen")
+        write_bgen(path, data, bits=16)
+        return path, data, dosage
+
+    def test_bgen_grm(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from dissect_tpu.io.bgen import read_bgen
+        from dissect_tpu.model.kernels import grm_from_plink
+
+        path, data, dosage = self._bgen_cohort(tmp_path, rng)
+        loaded = read_bgen(path)
+        kern = grm_from_plink(loaded, dtype=jnp.float64)
+        # reference: standardized empirical-dosage Gram matrix
+        stats = loaded.stats()
+        z = (loaded.dosages - stats.mean[:, None]) / stats.std[:, None]
+        expected = z.T @ z / loaded.n_snps
+        np.testing.assert_allclose(np.asarray(kern.matrix), expected, rtol=1e-6)
+
+    def test_bgen_cli_workflows(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+
+        path, data, dosage = self._bgen_cohort(tmp_path, rng)
+        n = data.n_individuals
+        stats = data.stats()
+        z = (dosage - stats.mean[:, None]) / stats.std[:, None]
+        y = z.T @ rng.normal(size=data.n_snps) * 0.1 + rng.normal(size=n)
+        pheno = tmp_path / "p.txt"
+        with open(pheno, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {y[i]:.8g}\n")
+        out = str(tmp_path / "b")
+        main(["--snp-stats", "--bgen", path, "--out", out])
+        assert (tmp_path / "b.snpstats").exists()
+        main(["--gwas", "--bgen", path, "--pheno", str(pheno), "--out", out])
+        lines = (tmp_path / "b.gwas.snps").read_text().splitlines()
+        assert len(lines) == data.n_snps + 1
+        main(["--reml", "--bgen", path, "--pheno", str(pheno), "--out", out])
+        assert (tmp_path / "b.reml").exists()
