@@ -29,7 +29,7 @@ from dissect_tpu.pca.pca import compute_pca
 from dissect_tpu.reml.multi import MultiREML
 from dissect_tpu.reml.single import SingleREML
 from dissect_tpu.reml.summary import write_blue, write_blup_indiv, write_reml_summary
-from dissect_tpu.runtime.log import get_logger
+from dissect_tpu.runtime.log import get_logger, result_open, set_zout
 from dissect_tpu.runtime.options import Options
 from dissect_tpu.runtime.timers import timers
 
@@ -336,7 +336,7 @@ class Analysis:
         )
         out = driver.compute()
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
-        with open(a.out + ".correlations", "w") as fh:
+        with result_open(a.out + ".correlations") as fh:
             fh.write("NAME VALUE SE\n")
             for row in out.correlations:
                 fh.write(f"{row.name} {row.value:.8g} {row.std_error:.8g}\n")
@@ -413,7 +413,7 @@ class Analysis:
             else:
                 kinds["mean"].append((name, i))
         for kind, entries in kinds.items():
-            with open(f"{a.out}.gwas.{kind}", "w") as fh:
+            with result_open(f"{a.out}.gwas.{kind}") as fh:
                 fh.write("GROUP NAME BETA SE PV\n")
                 for name, i in entries:
                     # covariate estimates from the last SNP fit, as the
@@ -423,7 +423,7 @@ class Analysis:
                         f"{res.cov_se[-1, i]:.8g} {res.cov_p[-1, i]:.6g}\n"
                     )
         significant = []
-        with open(a.out + ".gwas.snps", "w") as fh:
+        with result_open(a.out + ".gwas.snps") as fh:
             fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV\n")
             for i, snp in enumerate(data.snps):
                 fh.write(
@@ -552,7 +552,7 @@ class Analysis:
             group_size=a.region_size,
             significance_threshold=a.significance_threshold,
         )
-        with open(a.out + ".rgwas", "w") as fh:
+        with result_open(a.out + ".rgwas") as fh:
             fh.write("SNP\n")
             for s in significant:
                 fh.write(s + "\n")
@@ -584,7 +584,7 @@ class Analysis:
             + (1 - a.initial_h2) * var * np.eye(len(common))
         )
         result = GLMM(y, x, v, seed=a.random_seed).fit()
-        with open(a.out + ".glmm", "w") as fh:
+        with result_open(a.out + ".glmm") as fh:
             fh.write("NAME BETA SE\n")
             names = covar.filter_individuals(common).column_names
             for name, b, se in zip(names, result.betas, result.betas_se):
@@ -652,7 +652,7 @@ class Analysis:
         a = self.args
         data = self.load_genotype()
         stats = data.stats()
-        with open(a.out + ".snpstats", "w") as fh:
+        with result_open(a.out + ".snpstats") as fh:
             fh.write("SNP CHR BP A1 A2 NONMISSING P1 P2 STD\n")
             for i, s in enumerate(data.snps):
                 fh.write(
@@ -699,10 +699,13 @@ def main(argv=None):
     log.attach_file(options.args.out)
     log.verbose = options.args.verbose
     options.echo(log)
+    set_zout(options.args.zout)
     with timers.phase("Total"):
         Analysis(options).run()
+    mem = timers.process_memory()
     log.message(
         f"Analysis finished in {timers.elapsed.get('Total', 0.0):.2f}s"
+        + (f" (peak RSS {mem['VmHWM']})" if "VmHWM" in mem else "")
     )
     log.close()
 

@@ -16,6 +16,7 @@ import numpy as np
 
 from dissect_tpu.model.covariance import CovarianceModel, EffectType, ParameterType
 from dissect_tpu.reml.engine import REMLResult
+from dissect_tpu.runtime.log import result_open
 
 
 @dataclasses.dataclass
@@ -88,7 +89,7 @@ def write_reml_summary(
 ):
     """Write the .reml (or .ml) summary file (computeSummary layout)."""
     fname = path + (".ml" if use_ml else ".reml")
-    with open(fname, "w") as fh:
+    with result_open(fname) as fh:
         for w in result.warnings:
             fh.write(f"#  WARNING: {w}\n")
         if result.warnings:
@@ -141,7 +142,7 @@ def write_blue(
             kinds["mean"].append((name, i))
     for kind, entries in kinds.items():
         fname = f"{path}{pheno_suffix}.blue.{kind}"
-        with open(fname, "w") as fh:
+        with result_open(fname) as fh:
             fh.write("NAME BETA STD\n")
             for name, i in entries:
                 fh.write(f"{name} {beta[i]:.8g} {se[i]:.8g}\n")
@@ -157,7 +158,7 @@ def write_blup_indiv(
 ):
     """Write .<name>.blup.indiv (reml.cpp:3036-3053)."""
     fname = f"{path}.{_us(sub_name)}{pheno_suffix}.blup.indiv"
-    with open(fname, "w") as fh:
+    with result_open(fname) as fh:
         fh.write("FID IID BLUP" + (" STD\n" if errors is not None else "\n"))
         for i, key in enumerate(individual_keys):
             fid, iid = key.split("@", 1)

@@ -113,3 +113,21 @@ class DissectError(RuntimeError):
 
 def error(msg: str):
     raise DissectError(msg)
+
+
+# --- gzip result-file toggle (--zout, message.h:32-35) ----------------------
+
+_ZOUT = False
+
+
+def set_zout(flag: bool):
+    global _ZOUT
+    _ZOUT = bool(flag)
+
+
+def result_open(path: str, mode: str = "w"):
+    """Open a result file, gzip-compressed (path + '.gz') when --zout is
+    active — the Message(filename) + boost::iostreams analog."""
+    if _ZOUT:
+        return gzip.open(path + ".gz", mode + "t")
+    return open(path, mode)

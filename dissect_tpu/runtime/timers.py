@@ -54,6 +54,21 @@ class Timers:
         self.mem_peak = max(self.mem_peak, self._mem_current)
 
     @staticmethod
+    def process_memory() -> dict:
+        """Host VM/RSS from /proc/self/status (MemUsage parity,
+        memusage.cpp:38-88)."""
+        out = {}
+        try:
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith(("VmRSS", "VmHWM", "VmSize", "VmPeak")):
+                        key, val = line.split(":", 1)
+                        out[key] = val.strip()
+        except OSError:
+            pass
+        return out
+
+    @staticmethod
     def device_memory_stats() -> dict:
         try:
             dev = jax.devices()[0]

@@ -152,3 +152,31 @@ class TestCouplesKernel:
         kern = Kernel(name="GRM", type=KernelType.GRM, individual_keys=keys,
                       matrix=jnp.asarray(np.eye(n)))
         assert couples_kernel(kern, {keys[0]: keys[1]}) is None
+
+
+class TestZout:
+    def test_gzipped_outputs(self, tmp_path, rng):
+        import gzip
+
+        from dissect_tpu.analysis.dispatcher import main
+
+        n, m = 60, 80
+        dosage = make_dosage(rng, m, n)
+        path, data = make_plink(tmp_path, dosage)
+        pheno = tmp_path / "p.txt"
+        with open(pheno, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {rng.normal():.6g}\n")
+        out = str(tmp_path / "z")
+        main([
+            "--reml", "--bfile", path, "--pheno", str(pheno),
+            "--zout", "--out", out,
+        ])
+        gz = tmp_path / "z.reml.gz"
+        assert gz.exists()
+        content = gzip.open(gz, "rt").read()
+        assert "Var(GRM)" in content
+        # reset the global toggle for other tests
+        from dissect_tpu.runtime.log import set_zout
+
+        set_zout(False)
