@@ -229,7 +229,21 @@ def grm_from_plink(
     inv_std = 1.0 / stats.std
     acc = grm_accumulator(data.n_individuals, dtype=dtype, sharding=sharding)
     for start, stop, chunk in data.iter_chunks(chunk_size):
-        acc.update(chunk, mean[start:stop], inv_std[start:stop])
+        mu, istd = mean[start:stop], inv_std[start:stop]
+        if stop - start < chunk_size:
+            # pad the ragged last chunk with all-missing rows so every
+            # update shares ONE compiled shape (missing contributes
+            # nothing to either the kernel or the counts)
+            pad = chunk_size - (stop - start)
+            fill = (
+                np.nan if np.issubdtype(chunk.dtype, np.floating) else -1
+            )
+            chunk = np.concatenate(
+                [chunk, np.full((pad, chunk.shape[1]), fill, dtype=chunk.dtype)]
+            )
+            mu = np.concatenate([mu, np.zeros(pad)])
+            istd = np.concatenate([istd, np.ones(pad)])
+        acc.update(chunk, mu, istd)
     raw, counts = acc.finalize()
     if flat_normalization:
         counts = jnp.full_like(counts, float(data.n_snps))

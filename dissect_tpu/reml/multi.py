@@ -186,6 +186,25 @@ class MultiREML:
         self.model = model
         return out
 
+    def compute_with_reduced_models(
+        self,
+        elements_to_test: Optional[Sequence[str]] = None,
+        **kwargs,
+    ):
+        """Full multi-trait fit + reduced-model LRTs per sub-covariance
+        (computeREMLWithReducedModels, reml.cpp:1301-1400)."""
+        from dissect_tpu.reml.reduced import reduced_model_lrts
+
+        full = self.compute(**kwargs)
+        if not full.result.success:
+            return full, []
+        if elements_to_test is None:
+            elements_to_test = [k.name for k in self.kernels]
+        lrts = reduced_model_lrts(
+            self.model, self.y, self.x, self.options, full.result, elements_to_test
+        )
+        return full, lrts
+
     def compute_with_fixed_correlation(
         self,
         kernel_name: str,

@@ -250,53 +250,14 @@ class SingleREML:
         Reduced fits start from the full-model estimates with the EM
         first step disabled (reml.cpp:1319-1333).
         """
-        from scipy.stats import chi2
+        from dissect_tpu.reml.reduced import reduced_model_lrts
 
         full = self.compute(**kwargs)
         if not full.result.success:
             return full, []
         if elements_to_test is None:
             elements_to_test = [k.name for k in self.kernels]
-        reduced_opts = dataclasses.replace(self.options, first_step_em=False)
-        lrts = []
-        full_theta = {
-            nm: v
-            for nm, v in zip(full.result.variance_names, full.result.variances)
-        }
-        for sub_id in elements_to_test:
-            reduced_model = self.model.delete_subcovariance(sub_id)
-            if reduced_model.n_variances == 0 or not reduced_model.elements:
-                continue
-            init = np.array(
-                [full_theta[nm] for nm in reduced_model.variance_names()]
-            )
-            engine = REMLEngine(reduced_model, self.y, self.x, reduced_opts)
-            res = engine.fit(init)
-            if res.success:
-                df = self.model.n_variances - reduced_model.n_variances
-                lrt = max(
-                    2.0 * (full.result.log_likelihood - res.log_likelihood), 0.0
-                )
-                p = 0.5 * float(chi2.sf(lrt, df))
-                lrts.append(
-                    {
-                        "removed": sub_id,
-                        "log_likelihood": res.log_likelihood,
-                        "lrt": lrt,
-                        "df": df,
-                        "p_value": p,
-                        "converged": True,
-                    }
-                )
-            else:
-                lrts.append(
-                    {
-                        "removed": sub_id,
-                        "log_likelihood": float("nan"),
-                        "lrt": float("nan"),
-                        "df": 0,
-                        "p_value": float("nan"),
-                        "converged": False,
-                    }
-                )
+        lrts = reduced_model_lrts(
+            self.model, self.y, self.x, self.options, full.result, elements_to_test
+        )
         return full, lrts
