@@ -369,6 +369,9 @@ class Analysis:
         stats = data.stats()
         z = _centered_genotypes(data, stats)
 
+        if a.groups or a.group_all:
+            return self._grouped_gwas(data, z, y, x, stats)
+
         if kern is not None:
             kern = kern.filter_individuals(common)
             null = SingleREML(
@@ -397,6 +400,65 @@ class Analysis:
 
         self._write_gwas(res, data, covar, common)
         return res
+
+    def _grouped_gwas(self, data, z, y, x, stats):
+        """Grouped GWAS (computeGroupedGWAS, gwas.cpp:314-478): joint
+        per-group OLS fits with the F-test GROUPPV column and optional
+        per-individual group effects."""
+        from collections import OrderedDict
+
+        from dissect_tpu.gwas.grouped import grouped_gwas
+        from dissect_tpu.io.groups import by_all, by_group_file
+
+        a = self.args
+        if a.groups:
+            grouping = by_group_file(data, a.groups)
+        else:
+            grouping = by_all(data)
+        results, effects = grouped_gwas(
+            z,
+            data.snp_names,
+            grouping,
+            y,
+            x,
+            significance_threshold=a.significance_threshold,
+            correlation_threshold=a.snp_corr_threshold,
+            compute_effects=a.group_effects,
+        )
+        name_to_snp = {s.name: s for s in data.snps}
+        name_to_i = {s.name: i for i, s in enumerate(data.snps)}
+        c = x.shape[1]
+        with result_open(a.out + ".multi.gwas.snps") as fh:
+            fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV GROUPPV"
+                     + (" GROUPVAR\n" if a.group_effects else "\n"))
+            for group, res in results.items():
+                for j, nm in enumerate(res.snp_names):
+                    snp = name_to_snp[nm]
+                    i = name_to_i[nm]
+                    line = (
+                        f"{group} {nm} {snp.allele2} {stats.mean[i]:.3g} "
+                        f"{stats.std[i]:.3g} {res.beta[c + j]:.8g} "
+                        f"{res.beta[c + j] / stats.std[i]:.5g} "
+                        f"{res.se[c + j]:.8g} {res.p[c + j]:.6g} "
+                        f"{res.f_p_value:.6g}"
+                    )
+                    if a.group_effects:
+                        line += f" {res.group_variance:.6g}"
+                    fh.write(line + "\n")
+        if effects is not None:
+            effects.save(a.out + ".effects")
+        unfitted = [
+            (g, s) for g, r in results.items() for s in r.dropped_snps
+        ]
+        if unfitted:
+            with result_open(a.out + ".multi.gwas.unfitted") as fh:
+                for g, s in unfitted:
+                    fh.write(f"{g} {s}\n")
+        self.log.message(
+            f"grouped GWAS stored at [ {a.out}.multi.gwas.snps ] "
+            f"({len(results)} groups)"
+        )
+        return results
 
     def _write_gwas(self, res, data: PlinkData, covar, common):
         """Write .gwas.snps / .gwas.mean / .gwas.discrete /

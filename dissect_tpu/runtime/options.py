@@ -151,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     gwas.add_argument("--groups", help="SNP group file for grouped analyses")
     gwas.add_argument("--region-size", type=int, default=100,
                       help="SNPs per group for fixed-size grouping")
+    gwas.add_argument("--group-all", action="store_true",
+                      help="grouped GWAS with one group of all SNPs")
+    gwas.add_argument("--group-effects", action="store_true",
+                      help="save per-individual group effects (LabeledMatrix)")
+    gwas.add_argument("--snp-corr-threshold", type=float, default=0.99)
     gwas.add_argument("--gwas-use-null-variances", action="store_true",
                       help="fast path: fix variances at the null model fit "
                       "(EMMAX-style) instead of per-SNP ML refits")

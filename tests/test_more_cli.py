@@ -180,3 +180,47 @@ class TestZout:
         from dissect_tpu.runtime.log import set_zout
 
         set_zout(False)
+
+
+class TestGroupedGwasCli:
+    def test_group_file_workflow(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+
+        n, m = 100, 40
+        dosage = make_dosage(rng, m, n)
+        path, data = make_plink(tmp_path, dosage)
+        pheno = tmp_path / "p.txt"
+        with open(pheno, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {rng.normal():.6g}\n")
+        groups = tmp_path / "groups.txt"
+        with open(groups, "w") as fh:
+            for i, s in enumerate(data.snps):
+                fh.write(f"{s.name} g{i % 4}\n")
+        out = str(tmp_path / "gg")
+        main([
+            "--gwas", "--bfile", path, "--pheno", str(pheno),
+            "--groups", str(groups), "--group-effects", "--out", out,
+        ])
+        lines = (tmp_path / "gg.multi.gwas.snps").read_text().splitlines()
+        assert lines[0].split()[-2:] == ["GROUPPV", "GROUPVAR"]
+        assert len(lines) == m + 1
+        assert (tmp_path / "gg.effects.dat").exists()
+
+    def test_group_all(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+
+        n, m = 120, 20
+        dosage = make_dosage(rng, m, n)
+        path, data = make_plink(tmp_path, dosage)
+        pheno = tmp_path / "p.txt"
+        with open(pheno, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {rng.normal():.6g}\n")
+        out = str(tmp_path / "ga")
+        main([
+            "--gwas", "--bfile", path, "--pheno", str(pheno),
+            "--group-all", "--out", out,
+        ])
+        lines = (tmp_path / "ga.multi.gwas.snps").read_text().splitlines()
+        assert {l.split()[0] for l in lines[1:]} == {"all"}
