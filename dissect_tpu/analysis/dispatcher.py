@@ -496,6 +496,12 @@ class Analysis:
                 )
                 if res.snp_p[i] < a.significance_threshold:
                     significant.append(snp.name)
+        # non-converged per-SNP ML fits (gwas.cpp:546-554)
+        if res.converged is not None and not res.converged.all():
+            with result_open(a.out + ".gwas.unfitted") as fh:
+                for i, snp in enumerate(data.snps):
+                    if not res.converged[i]:
+                        fh.write(snp.name + "\n")
         self.log.message(
             f"GWAS results stored at [ {a.out}.gwas.* ] "
             f"({len(significant)} significant SNPs)"

@@ -141,7 +141,17 @@ def _ml_fit_diagonal(lam, y, xg, theta0, n_iterations):
     b = a_inv @ (xgvi.T @ y)
     r = y - xg @ b
     logl = -0.5 * (jnp.sum(jnp.log(v)) + jnp.sum(r * r * vi))
-    return b, jnp.diagonal(a_inv), theta, logl
+    # convergence marker: residual variance-gradient norm (non-converged
+    # per-SNP fits are reported to .gwas.unfitted, gwas.cpp:546-554)
+    pyr = vi * r
+    grad = 0.5 * jnp.array(
+        [
+            jnp.sum(pyr * lam * pyr) - jnp.sum(vi * lam),
+            jnp.sum(pyr * pyr) - jnp.sum(vi),
+        ]
+    )
+    grad_norm = jnp.max(jnp.abs(grad))
+    return b, jnp.diagonal(a_inv), theta, logl, grad_norm
 
 
 @partial(jax.jit, static_argnames=("n_iterations",))
@@ -181,7 +191,7 @@ def mlm_gwas_ml_refit(
     g_rot = jnp.asarray(genotypes, dtype=dtype) @ u
     theta0 = jnp.asarray(np.asarray(null_variances, dtype=np.float64), dtype=dtype)
 
-    b, a_inv_diag, thetas, logl = _ml_refit_core(
+    b, a_inv_diag, thetas, logl, grad_norm = _ml_refit_core(
         g_rot, y_rot, x_rot, lam, theta0, n_iterations
     )
     b = np.asarray(b)
@@ -189,7 +199,7 @@ def mlm_gwas_ml_refit(
     se = np.sqrt(a_inv_diag)
     chi2 = (b / se) ** 2
     p = chi2_sf(1, chi2)
-    return GwasResults(
+    res = GwasResults(
         snp_beta=b[:, -1],
         snp_se=se[:, -1],
         snp_stat=chi2[:, -1],
@@ -200,3 +210,5 @@ def mlm_gwas_ml_refit(
         df=1.0,
         model="MLM-ML",
     )
+    res.converged = np.asarray(grad_norm) < 1e-2  # gradient threshold
+    return res

@@ -46,6 +46,7 @@ class GwasResults:
     cov_p: np.ndarray
     df: float
     model: str = "OLS"
+    converged: "np.ndarray" = None  # per-SNP fit convergence (ML refits)
 
 
 @partial(jax.jit, static_argnames=())

@@ -177,6 +177,24 @@ class Kernel:
             return self
         return self.filter_individuals(kept)
 
+    def keep_with_relatedness_outside(
+        self, low: float, high: float
+    ) -> "Kernel":
+        """Keep only individuals participating in at least one pair whose
+        relatedness falls OUTSIDE [low, high]
+        (keepWithRelatednessOutside, kernel.cpp:2039-2070) — used to
+        focus analyses on informative related/unrelated pairs."""
+        k = np.asarray(self.dense())
+        n = k.shape[0]
+        off = k.copy()
+        np.fill_diagonal(off, (low + high) / 2.0)  # diagonal never triggers
+        outside = (off < low) | (off > high)
+        keep = outside.any(axis=1)
+        kept = [self.individual_keys[i] for i in range(n) if keep[i]]
+        if len(kept) == n:
+            return self
+        return self.filter_individuals(kept)
+
     # --- combination ---------------------------------------------------------
     def add(self, other: "Kernel", subtract: bool = False) -> "Kernel":
         """Denormalize -> add/subtract raw kernels and counts -> renormalize
