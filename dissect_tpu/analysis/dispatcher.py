@@ -373,9 +373,13 @@ class Analysis:
             return self._grouped_gwas(data, z, y, x, stats)
 
         if kern is not None:
+            # diagonalize ONCE: the null fit runs on the O(n) diagonal
+            # fast path and the per-SNP ML refits reuse the same
+            # eigenbasis (gwas.cpp:1509-1595 + 189-209)
             kern = kern.filter_individuals(common)
+            diag = kern.diagonalize()
             null = SingleREML(
-                [kern], pheno, covar, self.options.reml_options()
+                [diag], pheno, covar, self.options.reml_options()
             ).compute(compute_blue=False)
             vnames = null.result.variance_names
             vg = null.result.variances[vnames.index("Var(GRM)")]
@@ -384,9 +388,11 @@ class Analysis:
                 v = vg * np.asarray(kern.dense(), dtype=np.float64) + ve * np.eye(
                     len(common)
                 )
-                res = mlm_gwas_fixed_v(z, y, x, np.linalg.inv(v))
+                from dissect_tpu.linalg.spd import spd_inverse_logdet
+
+                v_inv, _, _ = spd_inverse_logdet(jnp.asarray(v))
+                res = mlm_gwas_fixed_v(z, y, x, v_inv)
             else:
-                diag = kern.diagonalize()
                 res = mlm_gwas_ml_refit(
                     z,
                     y,
@@ -592,7 +598,9 @@ class Analysis:
         if a.grm:
             kern = self.load_grm(allow_compute=False).filter_individuals(common)
             v = np.asarray(kern.dense(), dtype=np.float64) + np.eye(len(common))
-            v_inv = np.linalg.inv(v)
+            from dissect_tpu.linalg.spd import spd_inverse_logdet
+
+            v_inv, _, _ = spd_inverse_logdet(jnp.asarray(v))
         res = igwas(z, data.snp_names, covar.matrix, covar.column_names, v_inv)
         res.write(a.out)
         self.log.message(f"inverse GWAS stored at [ {a.out}.igwas ]")
