@@ -67,6 +67,14 @@ class REMLOptions:
     # options.cpp:141) or the expected-information REML-F/ML-F matrix
     # 0.5 tr(P dV_k P dV_l) (computeREMLFMatrix, reml.cpp:2053-2157)
     use_f_matrix: bool = False
+    # mixed precision: after an fp32 fit (TPU), finish with float64
+    # Newton steps on the CPU backend — the reference's fp32-early /
+    # fp64-late policy (singlePrecisionInversion switch,
+    # reml.cpp:1673-1724, matrix.cpp:3080-3138).  No-op when the run is
+    # already float64; auto-disabled above `float64_refine_max_n`.
+    float64_refine: bool = True
+    float64_refine_steps: int = 2
+    float64_refine_max_n: int = 20000
 
 
 @dataclasses.dataclass
@@ -423,6 +431,16 @@ class REMLEngine:
         else:
             success = False
 
+        if (
+            success
+            and opts.float64_refine
+            and self.dtype != jnp.float64
+            and self.dimension <= opts.float64_refine_max_n
+        ):
+            theta, log_likelihood, q, ai_inv_full = self._refine_float64(
+                theta, fixed, opts.float64_refine_steps
+            )
+
         if success:
             self.log.message(
                 f"{sreml} finished with success (logL: {log_likelihood:.10g})"
@@ -444,6 +462,58 @@ class REMLEngine:
             logdet_v=float(q["logdet_v"]) if q else 0.0,
             logdet_xtvix=float(q["logdet_xtvix"]) if q else 0.0,
         )
+
+    def _refine_float64(self, theta, fixed, n_steps):
+        """Final float64 Newton steps on the CPU backend (the fp64
+        endgame of the reference's mixed-precision policy)."""
+        import jax as _jax
+
+        cpu = _jax.devices("cpu")[0]
+        use_ml, use_f = self.options.use_ml, self.options.use_f_matrix
+        with _jax.enable_x64():
+            put = lambda a: _jax.device_put(
+                np.asarray(a, dtype=np.float64), cpu
+            )
+            cc64 = _jax.tree_util.tree_map(put, self.cc)
+            y64, x64 = put(self.y), put(self.x)
+            if cc64.has_matrix_params:
+                core = _dense_quantities_autodiff
+            else:
+                core = (
+                    _blockdiag_quantities if cc64.diagonal else _dense_quantities
+                )
+            q = None
+            ai_inv_full = np.zeros((len(theta), len(theta)))
+            for _ in range(max(n_steps, 1)):
+                q = core(cc64, put(theta), y64, x64, use_ml, use_f)
+                grad = np.asarray(q["grad"], dtype=np.float64)
+                ai = np.asarray(q["ai"], dtype=np.float64)
+                free = ~fixed
+                try:
+                    ai_inv = np.linalg.inv(ai[np.ix_(free, free)])
+                except np.linalg.LinAlgError:
+                    break
+                ai_inv_full = np.zeros_like(ai)
+                ai_inv_full[np.ix_(free, free)] = ai_inv
+                delta = ai_inv_full @ grad
+                new_theta = theta + delta
+                n_con, _names = self._constrain_m1(new_theta)
+                theta = new_theta
+            log_likelihood = -0.5 * (
+                float(q["logdet_v"])
+                + (0.0 if use_ml else float(q["logdet_xtvix"]))
+                + float(q["ytpy"])
+            )
+            self.log.message(
+                f"  f64  logL {log_likelihood:.6f}  "
+                + " ".join(f"{t:.6g}" for t in theta)
+            )
+        q_np = {
+            key: np.asarray(val, dtype=np.float64)
+            for key, val in q.items()
+            if key in ("logdet_v", "logdet_xtvix", "ytpy", "grad", "ai", "finite")
+        }
+        return theta, log_likelihood, q_np, ai_inv_full
 
     # ----------------------------------------------------------- post-fit ---
     def _final_device_state(self):
