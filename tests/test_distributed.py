@@ -60,3 +60,52 @@ class TestDistributedCholesky:
         )
         np.testing.assert_allclose(np.asarray(xs), np.linalg.solve(a, b), atol=1e-10)
         assert float(logdet) == pytest.approx(np.linalg.slogdet(a)[1], rel=1e-12)
+
+
+class TestDistributedIo:
+    def test_snp_shard_bounds(self):
+        from dissect_tpu.runtime.distributed_io import snp_shard_bounds
+
+        bounds = [snp_shard_bounds(100, i, 3) for i in range(3)]
+        assert bounds == [(0, 34), (34, 68), (68, 100)]
+        covered = []
+        for s, e in bounds:
+            covered.extend(range(s, e))
+        assert covered == list(range(100))
+
+    def test_stream_grm_sharded_matches_plain(self, rng):
+        import jax.numpy as jnp
+
+        from dissect_tpu.io.bed import IndividualInfo, PlinkData, SnpInfo
+        from dissect_tpu.model.kernels import grm_from_plink
+        from dissect_tpu.runtime.distributed_io import stream_grm_sharded
+        from dissect_tpu.runtime.mesh import MeshContext
+        from tests.conftest import make_dosage
+
+        ctx = MeshContext.create()
+        n, m = 32, 80
+        dosage = make_dosage(rng, m, n, missing_rate=0.05)
+        data = PlinkData(
+            snps=[SnpInfo("1", f"s{i}", 0.0, i, "A", "C") for i in range(m)],
+            individuals=[IndividualInfo(f"F{i}", f"I{i}") for i in range(n)],
+            _dosage=dosage,
+        )
+        plain = grm_from_plink(data, dtype=jnp.float64)
+        normalized, counts = stream_grm_sharded(
+            data, ctx, chunk_size=32, dtype=jnp.float64
+        )
+        np.testing.assert_allclose(
+            np.asarray(normalized), np.asarray(plain.matrix), rtol=1e-12
+        )
+
+    def test_global_sharded_array_single_process(self, rng):
+        from jax.sharding import PartitionSpec as P
+
+        from dissect_tpu.runtime.distributed_io import global_sharded_array
+        from dissect_tpu.runtime.mesh import MeshContext
+
+        ctx = MeshContext.create()
+        rows = rng.normal(size=(16, 8))
+        arr = global_sharded_array(rows, rows.shape, ctx, P(("i", "j"), None))
+        np.testing.assert_allclose(np.asarray(arr), rows)
+        assert not arr.sharding.is_fully_replicated
