@@ -109,3 +109,54 @@ class TestDistributedIo:
         arr = global_sharded_array(rows, rows.shape, ctx, P(("i", "j"), None))
         np.testing.assert_allclose(np.asarray(arr), rows)
         assert not arr.sharding.is_fully_replicated
+
+
+class TestDistributedReml:
+    def test_quantities_match_dense_engine(self, rng, mesh1d):
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.engine import REMLEngine
+        from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+        n = 256
+        z = rng.normal(size=(4 * n, n))
+        k = z.T @ z / (4 * n)
+        y = rng.normal(size=n)
+        x = np.column_stack([np.ones(n), rng.normal(size=n)])
+        model = build_variance_model([k], ["GRM"], [1.0], [0.5])
+        plain = REMLEngine(model, y, x)
+        dist = DistributedREMLEngine(model, y, x, mesh1d, block=32)
+        theta = jnp.asarray([0.6, 0.4])
+        qp = plain._quantities(theta)
+        qd = dist._quantities(theta)
+        for key in ("logdet_v", "logdet_xtvix", "ytpy"):
+            assert float(qd[key]) == pytest.approx(float(qp[key]), rel=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(qd["grad"]), np.asarray(qp["grad"]), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(qd["ai"]), np.asarray(qp["ai"]), rtol=1e-8
+        )
+
+    def test_full_distributed_fit(self, rng, mesh1d):
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.engine import REMLEngine, REMLOptions
+        from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+        n = 256
+        z = rng.normal(size=(4 * n, n))
+        k = z.T @ z / (4 * n)
+        el = np.linalg.cholesky(k + 1e-8 * np.eye(n))
+        y = el @ rng.normal(size=n) * np.sqrt(0.6) + rng.normal(size=n) * np.sqrt(0.4)
+        x = np.ones((n, 1))
+        model = build_variance_model([k], ["GRM"], [np.var(y, ddof=1)], [0.5])
+        plain = REMLEngine(
+            model, y, x, REMLOptions(float64_refine=False)
+        ).fit()
+        dist = DistributedREMLEngine(model, y, x, mesh1d, block=32).fit()
+        assert dist.success and plain.success
+        np.testing.assert_allclose(
+            dist.variances, plain.variances, rtol=1e-7
+        )
+        assert dist.log_likelihood == pytest.approx(
+            plain.log_likelihood, rel=1e-10
+        )
