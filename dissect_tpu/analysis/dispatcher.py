@@ -55,6 +55,34 @@ def _centered_genotypes(data, stats=None) -> np.ndarray:
     return np.where(observed, filled - stats.mean[:, None], 0.0)
 
 
+def _chunked_gwas(fn, z, chunk: int = 65536):
+    """Run a per-SNP GWAS solver over SNP blocks and concatenate —
+    bounds device/host memory at genome scale (the batched analog of
+    the reference's per-file streaming loop, gwas.cpp:126-312)."""
+    m = z.shape[0]
+    if m <= chunk:
+        return fn(z)
+    parts = [fn(z[s : s + chunk]) for s in range(0, m, chunk)]
+    first = parts[0]
+    cat = lambda attr: np.concatenate([getattr(p, attr) for p in parts])
+    from dissect_tpu.gwas.ols import GwasResults
+
+    out = GwasResults(
+        snp_beta=cat("snp_beta"),
+        snp_se=cat("snp_se"),
+        snp_stat=cat("snp_stat"),
+        snp_p=cat("snp_p"),
+        cov_beta=cat("cov_beta"),
+        cov_se=cat("cov_se"),
+        cov_p=cat("cov_p"),
+        df=first.df,
+        model=first.model,
+    )
+    if first.converged is not None:
+        out.converged = cat("converged")
+    return out
+
+
 class Analysis:
     """One configured run: dispatches to the requested analysis."""
 
@@ -391,18 +419,23 @@ class Analysis:
                 from dissect_tpu.linalg.spd import spd_inverse_logdet
 
                 v_inv, _, _ = spd_inverse_logdet(jnp.asarray(v))
-                res = mlm_gwas_fixed_v(z, y, x, v_inv)
+                res = _chunked_gwas(
+                    lambda zc: mlm_gwas_fixed_v(zc, y, x, v_inv), z
+                )
             else:
-                res = mlm_gwas_ml_refit(
+                res = _chunked_gwas(
+                    lambda zc: mlm_gwas_ml_refit(
+                        zc,
+                        y,
+                        x,
+                        np.asarray(diag.eigenvalues, dtype=np.float64),
+                        np.asarray(diag.eigenvectors, dtype=np.float64),
+                        (vg, ve),
+                    ),
                     z,
-                    y,
-                    x,
-                    np.asarray(diag.eigenvalues, dtype=np.float64),
-                    np.asarray(diag.eigenvectors, dtype=np.float64),
-                    (vg, ve),
                 )
         else:
-            res = ols_gwas(z, y, x)
+            res = _chunked_gwas(lambda zc: ols_gwas(zc, y, x), z)
 
         self._write_gwas(res, data, covar, common)
         return res
