@@ -130,6 +130,18 @@ class Analysis:
         """loadGRMUsingOptions parity (auxiliar.h:264-275): read a stored
         .grm.* artifact or compute from genotypes."""
         a = self.args
+        if a.gcta_grms_gz:
+            loaded = grm_io.read_gcta_grm_gz(a.gcta_grms_gz)
+            kern = Kernel(
+                name="GRM",
+                type=KernelType.GCTA_GRM,
+                individual_keys=loaded["individual_keys"],
+                matrix=jnp.asarray(loaded["kernel"]),
+                counts=jnp.asarray(loaded["counts"]),
+            )
+            if a.grm_cutoff is not None:
+                kern = kern.prune(a.grm_cutoff)
+            return kern
         if a.grm:
             loaded = grm_io.read_grm(a.grm)
             if loaded["diagonalized"]:
@@ -154,7 +166,9 @@ class Analysis:
         elif allow_compute and (a.bfile or a.bfile_list or a.bgen):
             data = self.load_genotype()
             kern = grm_from_plink(
-                data, flat_normalization=a.grm_flat_norm
+                data,
+                flat_normalization=a.grm_flat_norm,
+                drop_monomorphic=a.keep_zerostd_snps,
             )
         else:
             raise ValueError("no GRM input (--grm / --bfile / --bgen)")
@@ -292,6 +306,8 @@ class Analysis:
         from dissect_tpu.runtime.checkpoint import read_initial_variances
 
         a = self.args
+        if (a.region_size or a.groups) and (a.bfile or a.bfile_list):
+            return self.make_regional_reml()
         kern = self.load_grm()
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
@@ -334,6 +350,55 @@ class Analysis:
             write_snp_blup(a.out, "GRM", blup_result)
         self.log.message(f"REML results stored at [ {a.out}.reml ]")
         return out
+
+    def make_regional_reml(self):
+        """Regional heritability (--reml --region-size/--groups,
+        singlereml.cpp:230-360): per-region Global/Regional-GRM fits
+        with LRTs, written as <out>.<region>.reml + an .lrt table."""
+        from dissect_tpu.io.groups import by_group_file, by_position
+        from dissect_tpu.reml.regional import compute_regional
+        from dissect_tpu.reml.reduced import write_lrt_table
+
+        a = self.args
+        data = self.load_genotype()
+        pheno = self.load_phenotypes()[0]
+        covar = self.load_covariate(pheno.keys)
+        if a.groups:
+            grouping = by_group_file(data, a.groups)
+        else:
+            grouping = by_position(
+                data, a.region_size * 1000, a.region_overlap * 1000
+            )
+        grouping = {
+            g: snps
+            for g, snps in grouping.items()
+            if len(snps) >= a.min_snps_region
+        }
+        results = compute_regional(
+            data, grouping, pheno, covar, self.options.reml_options()
+        )
+        all_lrts = []
+        for group, res in results.items():
+            for row in res["lrts"]:
+                all_lrts.append({**row, "removed": f"{group}:{row['removed']}"})
+        write_lrt_table(a.out, all_lrts)
+        with result_open(a.out + ".regional") as fh:
+            fh.write("REGION NSNPS PROPORTION GLOBAL_VAR REGIONAL_VAR E_VAR SUCCESS\n")
+            for group, res in results.items():
+                r = res["full"].result
+                ok = r.success
+                gv = r.variance("Var(Global-GRM)") if ok else float("nan")
+                rv = r.variance("Var(Regional-GRM)") if ok else float("nan")
+                ev = r.variance("Var(E)") if ok else float("nan")
+                fh.write(
+                    f"{group} {res['n_snps']} {res['proportion']:.4g} "
+                    f"{gv:.6g} {rv:.6g} {ev:.6g} {int(ok)}\n"
+                )
+        self.log.message(
+            f"regional REML stored at [ {a.out}.regional / {a.out}.lrt ] "
+            f"({len(results)} regions)"
+        )
+        return results
 
     def make_multi_reml(self):
         """--bivar-reml / --multi-reml (multireml.cpp:57-137)."""
@@ -658,7 +723,7 @@ class Analysis:
         z = _centered_genotypes(data, stats)
         significant, results = recursive_gwas(
             z, data.snp_names, y, x,
-            group_size=a.region_size,
+            group_size=a.rgwas_group_size,
             significance_threshold=a.significance_threshold,
         )
         with result_open(a.out + ".rgwas") as fh:

@@ -228,6 +228,7 @@ def grm_from_plink(
     flat_normalization: bool = False,
     name: str = "GRM",
     sharding=None,
+    drop_monomorphic: bool = False,
 ) -> Kernel:
     """Build the GRM from a PLINK fileset via streaming fused syrk.
 
@@ -239,10 +240,23 @@ def grm_from_plink(
     """
     stats = data.stats()
     if bool(stats.monomorphic.any()):
-        bad = [data.snps[i].name for i in np.nonzero(stats.monomorphic)[0][:10]]
-        raise ValueError(
-            "monomorphic SNPs present (filter them first), e.g. " + ", ".join(bad)
-        )
+        if drop_monomorphic:
+            # --keep-zerostd-snps analog: silently drop instead of the
+            # reference's .badsnps abort (genotype.cpp:915-940)
+            keep = [
+                data.snps[i].name
+                for i in np.nonzero(~stats.monomorphic)[0]
+            ]
+            data = data.filter(keep_snps=keep)
+            stats = data.stats()
+        else:
+            bad = [
+                data.snps[i].name for i in np.nonzero(stats.monomorphic)[0][:10]
+            ]
+            raise ValueError(
+                "monomorphic SNPs present (filter them first), e.g. "
+                + ", ".join(bad)
+            )
     mean = stats.mean
     inv_std = 1.0 / stats.std
     acc = grm_accumulator(data.n_individuals, dtype=dtype, sharding=sharding)

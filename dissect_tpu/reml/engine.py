@@ -75,6 +75,9 @@ class REMLOptions:
     float64_refine: bool = True
     float64_refine_steps: int = 2
     float64_refine_max_n: int = 20000
+    # squared-exponential kernel parameters (options.cpp:142-143)
+    exp_kernel_initial_factor: float = 1.0  # --param-init-fac
+    parameter_unfix_after: int = 8  # --steps-to-unfix
 
 
 @dataclasses.dataclass

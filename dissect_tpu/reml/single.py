@@ -125,7 +125,8 @@ class SingleREML:
         from dissect_tpu.model.kernels import KernelType
 
         parameter_kernels = {
-            k.name: 1.0 / max(float(np.mean(m)), 1e-12)
+            k.name: self.options.exp_kernel_initial_factor
+            / max(float(np.mean(m)), 1e-12)
             for k, m in zip(self.kernels, mats)
             if k.type == KernelType.SQUARED_EXPONENTIAL and not self.diagonal
         }
@@ -138,6 +139,7 @@ class SingleREML:
             n_traits=1,
             diagonal=self.diagonal,
             parameter_kernels=parameter_kernels,
+            parameter_unfix_after=self.options.parameter_unfix_after,
         )
         if initial_variances is not None:
             # --initial-variances / subsample seeding by name

@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="normalize by total SNP count, not per-pair counts")
     grm.add_argument("--grm-epi", action="store_true", help="epistatic GRM (K.*K)")
     grm.add_argument("--min-overlap-snps", type=float, default=0.1)
+    grm.add_argument("--keep-zerostd-snps", action="store_true",
+                      help="silently drop monomorphic SNPs instead of erroring")
+    grm.add_argument("--gcta-grms-gz", help="GCTA .grm.id/.grm.gz prefix")
 
     reml = p.add_argument_group("reml")
     reml.add_argument("--reml-maxit", type=int, default=40)
@@ -141,6 +144,16 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--subsample-proportion", type=float, default=0.2)
     reml.add_argument("--fix-correlation", type=float, default=None,
                       help="refit with the genetic correlation fixed and LRT")
+    reml.add_argument("--param-init-fac", type=float, default=1.0,
+                      help="initial-alpha factor for squared-exponential "
+                      "kernels (expKernelParameterInitialFactor)")
+    reml.add_argument("--steps-to-unfix", type=int, default=8,
+                      help="Newton steps before kernel parameters unfix "
+                      "(remlStepsToUnfixExpKernelParameter)")
+    reml.add_argument("--no-single-precision", action="store_true",
+                      help="accepted for compatibility; the engine already "
+                      "finishes fits with float64 refinement")
+    reml.add_argument("--skip-test-reduced-models", action="store_true")
     reml.add_argument("--indirect-effects-couples",
                       help="4-column couples file (FID1 IID1 FID2 IID2) adding "
                       "partner-resorted GRMs for indirect genetic effects")
@@ -148,9 +161,20 @@ def build_parser() -> argparse.ArgumentParser:
     gwas = p.add_argument_group("gwas")
     gwas.add_argument("--igwas-covar", help="discrete covariates tested by inverse GWAS")
     gwas.add_argument("--igwas-qcovar", help="quantitative covariates tested by inverse GWAS")
-    gwas.add_argument("--groups", help="SNP group file for grouped analyses")
-    gwas.add_argument("--region-size", type=int, default=100,
-                      help="SNPs per group for fixed-size grouping")
+    gwas.add_argument("--groups", help="SNP group file: regional REML with "
+                      "--reml, grouped GWAS with --gwas")
+    gwas.add_argument("--region-size", type=int, default=None,
+                      help="region size in kb; triggers regional analysis "
+                      "(options.cpp:979-984)")
+    gwas.add_argument("--region-overlap", type=int, default=0,
+                      help="region overlap in kb (options.cpp:987-992)")
+    gwas.add_argument("--min-snps-region", type=int, default=1)
+    gwas.add_argument("--rgwas-group-size", type=int, default=100)
+    gwas.add_argument("--parallel-gwas", action="store_true",
+                      help="accepted for compatibility; per-SNP tests are "
+                      "always batched on the accelerator")
+    gwas.add_argument("--nonparallel-gwas", action="store_true",
+                      help="accepted for compatibility (see --parallel-gwas)")
     gwas.add_argument("--group-all", action="store_true",
                       help="grouped GWAS with one group of all SNPs")
     gwas.add_argument("--group-effects", action="store_true",
@@ -197,6 +221,12 @@ class Options:
     def parse(argv: Optional[List[str]] = None) -> "Options":
         parser = build_parser()
         args = parser.parse_args(argv)
+        if (args.region_size or args.region_overlap) and args.groups:
+            raise OptionsError(
+                "only one type of regional analysis is allowed: "
+                "--region-size/--region-overlap or --groups "
+                "(options.cpp:1582-1585)"
+            )
         selected = [dest for _, dest, _ in ANALYSES if getattr(args, dest)]
         if len(selected) > 1:
             raise OptionsError(
@@ -222,6 +252,8 @@ class Options:
             gcta_mode=a.gcta_mode,
             use_ml=a.use_ml,
             initial_h2=a.initial_h2,
+            exp_kernel_initial_factor=a.param_init_fac,
+            parameter_unfix_after=a.steps_to_unfix,
         )
 
     def echo(self, log):

@@ -184,3 +184,41 @@ class TestReducedAndRegional:
             assert res["full"].result.success
             names = res["full"].result.variance_names
             assert "Var(Global-GRM)" in names and "Var(Regional-GRM)" in names
+
+
+class TestRegionalCli:
+    def test_regional_reml_cli(self, tmp_path, rng):
+        from dissect_tpu.analysis.dispatcher import main
+        from dissect_tpu.io.bed import IndividualInfo, PlinkData, SnpInfo, write_plink
+
+        n, m = 150, 90
+        dosage = make_dosage(rng, m, n)
+        data = PlinkData(
+            snps=[SnpInfo("1", f"snp{i}", 0.0, i * 1000, "A", "C") for i in range(m)],
+            individuals=[IndividualInfo(f"F{i}", f"I{i}") for i in range(n)],
+            _dosage=dosage,
+        )
+        path = str(tmp_path / "coh")
+        write_plink(path, data)
+        p2 = dosage.sum(1) / (2 * n)
+        z = (dosage - 2 * p2[:, None]) / np.sqrt(2 * p2 * (1 - p2))[:, None]
+        y = z[:30].T @ rng.normal(size=30) * np.sqrt(0.5 / 30) + rng.normal(size=n) * 0.7
+        pheno = tmp_path / "p.txt"
+        with open(pheno, "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {y[i]:.8g}\n")
+        out = str(tmp_path / "reg")
+        main([
+            "--reml", "--bfile", path, "--pheno", str(pheno),
+            "--region-size", "30", "--out", out,  # 30 kb = 30 SNPs/region
+        ])
+        regional = (tmp_path / "reg.regional").read_text().splitlines()
+        assert regional[0].split()[0] == "REGION"
+        assert len(regional) >= 3
+        assert (tmp_path / "reg.lrt").exists()
+
+    def test_region_vs_groups_incompatible(self):
+        from dissect_tpu.runtime.options import Options, OptionsError
+
+        with pytest.raises(OptionsError):
+            Options.parse(["--reml", "--region-size", "10", "--groups", "f.txt"])
