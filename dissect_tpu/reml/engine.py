@@ -404,6 +404,23 @@ class REMLEngine:
             with np.errstate(divide="ignore", invalid="ignore"):
                 rel_changes = np.abs((theta - old_theta) / old_theta)
             var_converged = bool(np.all(rel_changes <= opts.variance_convergence_threshold))
+            # fp32 logL evaluations carry noise above the 1e-4 threshold at
+            # large n; once the variances are tightly converged (the
+            # reference's fp32 -> fp64 switch condition, threshold/10,
+            # reml.cpp:1712-1716) accept and let the float64 refinement
+            # finish the fit in double precision.
+            if (
+                not ll_converged
+                and self.dtype != jnp.float64
+                and opts.float64_refine
+                and bool(
+                    np.all(
+                        rel_changes <= opts.variance_convergence_threshold / 10.0
+                    )
+                )
+            ):
+                ll_converged = True
+                step_mods += "s"
             grad_converged = bool(
                 np.all(
                     (np.abs(grad_half) <= opts.gradient_convergence_threshold)
