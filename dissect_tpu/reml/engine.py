@@ -767,10 +767,9 @@ def _ylist_quantities(cc, theta, y_list, x, use_ml=False, use_f_matrix=False):
     core = _blockdiag_quantities if cc.diagonal else _dense_quantities
 
     def one(yy):
-        return core(cc, yy, x=x, theta=theta, use_ml=use_ml,
-                    use_f_matrix=use_f_matrix)
+        return core(cc, theta, yy, x, use_ml, use_f_matrix)
 
-    outs = jax.vmap(lambda yy: one(yy))(y_list)
+    outs = jax.vmap(one)(y_list)
     first = jax.tree_util.tree_map(lambda o: o[0], outs)
     out = dict(first)
     out["grad"] = jnp.mean(outs["grad"], axis=0)
