@@ -170,3 +170,16 @@ class TestPca:
         assert lines[0].split()[:2] == ["F0", "I0"]
         ev = (tmp_path / "out.pca.eigenvalues").read_text().splitlines()
         assert len(ev) == 4  # header + 3
+
+
+class TestChunkedGwas:
+    def test_chunked_matches_single_dispatch(self, rng):
+        from dissect_tpu.analysis.dispatcher import _chunked_gwas
+        from dissect_tpu.gwas.ols import ols_gwas
+
+        dosage, z, k, x, y = _sim_gwas(rng, n=80, m=50)
+        full = ols_gwas(z, y, x)
+        chunked = _chunked_gwas(lambda zc: ols_gwas(zc, y, x), z, chunk=16)
+        np.testing.assert_allclose(chunked.snp_beta, full.snp_beta, rtol=1e-12)
+        np.testing.assert_allclose(chunked.snp_p, full.snp_p, rtol=1e-10)
+        np.testing.assert_allclose(chunked.cov_se, full.cov_se, rtol=1e-12)
