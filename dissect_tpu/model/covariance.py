@@ -103,9 +103,23 @@ class CovarianceModel:
     insertElement, appendVarianceToElement.
     """
 
-    def __init__(self, n: int, n_traits: int = 1, diagonal: bool = False):
+    def __init__(
+        self,
+        n: int,
+        n_traits: int = 1,
+        diagonal: bool = False,
+        trait_sizes: Optional[Sequence[int]] = None,
+    ):
         self.n = n
         self.n_traits = n_traits
+        # per-trait individual counts: uniform [n]*T unless given —
+        # differing sizes model the reference's asymmetric kernel blocks
+        # (nIndividualsTraits, reml.cpp:812-877)
+        self.trait_sizes = (
+            [n] * n_traits if trait_sizes is None else list(trait_sizes)
+        )
+        if len(self.trait_sizes) != n_traits:
+            raise ValueError("trait_sizes length != n_traits")
         self.diagonal = diagonal
         self.matrices: Dict[str, jax.Array] = {}
         self.variances: List[Variance] = []
@@ -147,11 +161,14 @@ class CovarianceModel:
         return idx
 
     def insert_matrix(self, name: str, matrix):
-        """Register a kernel matrix: (n, n) dense or (n,) diagonal."""
+        """Register a kernel matrix: (rows, cols) dense (rectangular for
+        asymmetric cross-trait blocks) or (n,) diagonal."""
         m = jnp.asarray(matrix)
-        expected = (self.n,) if self.diagonal else (self.n, self.n)
-        if m.shape != expected:
-            raise ValueError(f"matrix {name}: shape {m.shape} != {expected}")
+        if self.diagonal:
+            if m.shape != (self.n,):
+                raise ValueError(f"matrix {name}: shape {m.shape} != ({self.n},)")
+        elif m.ndim != 2:
+            raise ValueError(f"matrix {name}: expected a 2D matrix")
         self.matrices[name] = m
 
     def insert_element(
@@ -204,7 +221,7 @@ class CovarianceModel:
 
     @property
     def n_total(self) -> int:
-        return self.n * self.n_traits
+        return sum(self.trait_sizes)
 
     def initial_theta(self) -> np.ndarray:
         return np.array([v.initial_value for v in self.variances], dtype=np.float64)
@@ -232,7 +249,9 @@ class CovarianceModel:
         that no longer appear in any element are dropped."""
         kept_elements = [e for e in self.elements if e.subcovariance_id != sub_id]
         used = {vn for e in kept_elements for vn, _ in e.variance_factors}
-        model = CovarianceModel(self.n, self.n_traits, self.diagonal)
+        model = CovarianceModel(
+            self.n, self.n_traits, self.diagonal, trait_sizes=self.trait_sizes
+        )
         model.group_magnitudes = dict(self.group_magnitudes)
         for v in self.variances:
             if v.name in used:
@@ -254,33 +273,39 @@ class CovarianceModel:
             ne.variance_factors = [
                 (vn, t) for vn, t in e.variance_factors if vn in used
             ]
+            if e.parameter_name in used:
+                ne.parameter_name = e.parameter_name
         return model
 
     # --- compilation ---------------------------------------------------------
     def compile(self) -> "CompiledCovariance":
-        mat_names = sorted(self.matrices)
-        mat_index = {nm: i for i, nm in enumerate(mat_names)}
-        stack = jnp.stack([self.matrices[nm] for nm in mat_names])
         E, K = len(self.elements), self.n_variances
         powers = np.zeros((E, K), dtype=np.float64)
         factors = np.zeros((E,), dtype=np.float64)
         blocks = np.zeros((E, 2), dtype=np.int32)
-        mids = np.zeros((E,), dtype=np.int32)
         pids = np.full((E,), -1, dtype=np.int32)
+        mats = []
         for ei, e in enumerate(self.elements):
             factors[ei] = e.factor
             blocks[ei] = e.block
-            mids[ei] = mat_index[e.matrix_name]
+            m = self.matrices[e.matrix_name]
+            ti, tj = e.block
+            if not self.diagonal:
+                expected = (self.trait_sizes[ti], self.trait_sizes[tj])
+                if m.shape != expected:
+                    raise ValueError(
+                        f"element {e.name}: matrix {e.matrix_name} shape "
+                        f"{m.shape} != block shape {expected}"
+                    )
+            mats.append(m)
             if e.parameter_name is not None:
                 pids[ei] = self._variance_index[e.parameter_name]
             for vn, transform in e.variance_factors:
                 powers[ei, self._variance_index[vn]] += transform.value
         return CompiledCovariance(
-            n=self.n,
-            n_traits=self.n_traits,
+            trait_sizes=tuple(self.trait_sizes),
             diagonal=self.diagonal,
-            matrices=stack,
-            matrix_ids=tuple(mids.tolist()),
+            element_matrices=tuple(mats),
             blocks=tuple(map(tuple, blocks.tolist())),
             powers=jnp.asarray(powers),
             factors=jnp.asarray(factors),
@@ -293,20 +318,18 @@ class CovarianceModel:
 class CompiledCovariance:
     """Static, jit-friendly covariance structure.
 
-    `matrices` is (D, n, n) dense or (D, n) diagonal; element metadata
-    is hashable static data so functions closing over it retrace only
-    when the model structure changes.  Registered as a pytree (arrays as
-    leaves, structure as aux data) so jitted functions taking a
-    CompiledCovariance argument share their compilation across model
-    instances with the same structure — essential for regional /
+    `element_matrices` holds one (rows, cols) array per element —
+    rectangular for asymmetric cross-trait blocks — or (n,) vectors in
+    diagonal mode.  Element metadata is hashable static data; the class
+    is a pytree (arrays as leaves, structure as aux data) so jitted
+    functions taking a CompiledCovariance share compilation across
+    model instances with identical structure — essential for regional /
     reduced-model / per-SNP workflows that build many models.
     """
 
-    n: int
-    n_traits: int
+    trait_sizes: Tuple[int, ...]
     diagonal: bool
-    matrices: jax.Array
-    matrix_ids: Tuple[int, ...]
+    element_matrices: Tuple[jax.Array, ...]
     blocks: Tuple[Tuple[int, int], ...]
     powers: jax.Array  # (E, K)
     factors: jax.Array  # (E,)
@@ -314,47 +337,71 @@ class CompiledCovariance:
 
     def tree_flatten(self):
         return (
-            (self.matrices, self.powers, self.factors),
-            (self.n, self.n_traits, self.diagonal, self.matrix_ids, self.blocks,
-             self.param_ids),
+            (self.element_matrices, self.powers, self.factors),
+            (self.trait_sizes, self.diagonal, self.blocks, self.param_ids),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        matrices, powers, factors = children
-        n, n_traits, diagonal, matrix_ids, blocks, param_ids = aux
+        element_matrices, powers, factors = children
+        trait_sizes, diagonal, blocks, param_ids = aux
         return cls(
-            n=n,
-            n_traits=n_traits,
+            trait_sizes=trait_sizes,
             diagonal=diagonal,
-            matrices=matrices,
-            matrix_ids=matrix_ids,
+            element_matrices=tuple(element_matrices),
             blocks=blocks,
             powers=powers,
             factors=factors,
             param_ids=param_ids,
         )
 
+    # --- shape helpers -------------------------------------------------------
+    @property
+    def n_traits(self) -> int:
+        return len(self.trait_sizes)
+
+    @property
+    def n(self) -> int:
+        """Per-trait size for UNIFORM models (the common case)."""
+        return self.trait_sizes[0]
+
+    @property
+    def uniform(self) -> bool:
+        return all(s == self.trait_sizes[0] for s in self.trait_sizes)
+
+    @property
+    def n_total(self) -> int:
+        return sum(self.trait_sizes)
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        out, acc = [], 0
+        for s in self.trait_sizes:
+            out.append(acc)
+            acc += s
+        return tuple(out)
+
     @property
     def has_matrix_params(self) -> bool:
         return any(p >= 0 for p in self.param_ids)
 
-    def element_matrix(self, ei: int, theta: jax.Array) -> jax.Array:
-        """The (possibly theta-dependent) element matrix: raw M, or
-        exp(-theta_p * D) for squared-exponential elements."""
-        m = self.matrices[self.matrix_ids[ei]]
-        p = self.param_ids[ei] if self.param_ids else -1
-        if p >= 0:
-            m = jnp.exp(-theta[p] * m)
-        return m
-
     @property
     def n_elements(self) -> int:
-        return len(self.matrix_ids)
+        return len(self.element_matrices)
 
     @property
     def n_variances(self) -> int:
         return self.powers.shape[1]
+
+    def element_matrix(self, ei: int, theta: jax.Array) -> jax.Array:
+        """The (possibly theta-dependent) element matrix: raw M, or
+        exp(-theta_p * D) for squared-exponential elements
+        (applyExponentialOperator, covariancematrix.cpp:805)."""
+        m = self.element_matrices[ei]
+        p = self.param_ids[ei] if self.param_ids else -1
+        if p >= 0:
+            m = jnp.exp(-theta[p] * m)
+        return m
 
     # --- coefficient function g(theta) --------------------------------------
     def coefficients(self, theta: jax.Array) -> jax.Array:
@@ -379,28 +426,33 @@ class CompiledCovariance:
 
     # --- assembly ------------------------------------------------------------
     def assemble_dense(self, theta: jax.Array) -> jax.Array:
-        """V as (T n, T n) (computeCovariance, covariancematrix.cpp:545-577)."""
+        """V as (n_total, n_total) (computeCovariance,
+        covariancematrix.cpp:545-577) with static trait-block offsets."""
         g = self.coefficients(theta)
-        T, n = self.n_traits, self.n
-        v4 = jnp.zeros((T, n, T, n), dtype=self.matrices.dtype)
+        off = self.offsets
+        nt = self.n_total
+        dtype = self.element_matrices[0].dtype
+        v = jnp.zeros((nt, nt), dtype=dtype)
         for ei in range(self.n_elements):
             m = self.element_matrix(ei, theta)
             if self.diagonal:
                 m = jnp.diag(m)
             ti, tj = self.blocks[ei]
-            v4 = v4.at[ti, :, tj, :].add(g[ei] * m)
+            ri, ci = off[ti], off[tj]
+            nr, nc = m.shape
+            v = v.at[ri : ri + nr, ci : ci + nc].add(g[ei] * m)
             if ti != tj:
-                v4 = v4.at[tj, :, ti, :].add(g[ei] * m.T)
-        return v4.reshape(T * n, T * n)
+                v = v.at[ci : ci + nc, ri : ri + nr].add(g[ei] * m.T)
+        return v
 
     def assemble_blockdiag(self, theta: jax.Array) -> jax.Array:
         """V as (n, T, T) per-individual blocks — diagonal kernels only
         (computeBlockCovariance, covariancematrix.cpp:579-650)."""
-        if not self.diagonal:
-            raise ValueError("blockdiag assembly requires diagonal matrices")
+        if not self.diagonal or not self.uniform:
+            raise ValueError("blockdiag assembly requires uniform diagonal matrices")
         g = self.coefficients(theta)
         T, n = self.n_traits, self.n
-        v = jnp.zeros((n, T, T), dtype=self.matrices.dtype)
+        v = jnp.zeros((n, T, T), dtype=self.element_matrices[0].dtype)
         for ei in range(self.n_elements):
             m = self.element_matrix(ei, theta)
             ti, tj = self.blocks[ei]
@@ -410,42 +462,54 @@ class CompiledCovariance:
         return v
 
     # --- per-element primitives for REML ------------------------------------
+    # NOTE: these primitives evaluate theta-INDEPENDENT element matrices;
+    # parameterized (inside-matrix) models use the autodiff core instead.
     def elements_times_vector(self, u: jax.Array) -> jax.Array:
-        """M_e^(placed) @ u for every element -> (E, T, n).
+        """M_e^(placed) @ u for every element -> (E, n_total).
 
-        u is (T, n).  The building block of subVPy (reml.cpp:1947-1960)."""
-        T, n = self.n_traits, self.n
+        u is flat (n_total,).  The building block of subVPy
+        (reml.cpp:1947-1960)."""
+        off = self.offsets
+        nt = self.n_total
         outs = []
         for ei in range(self.n_elements):
-            m = self.matrices[self.matrix_ids[ei]]
+            m = self.element_matrices[ei]
             ti, tj = self.blocks[ei]
-            out = jnp.zeros((T, n), dtype=u.dtype)
+            ri, ci = off[ti], off[tj]
+            out = jnp.zeros((nt,), dtype=u.dtype)
             if self.diagonal:
-                out = out.at[ti].add(m * u[tj])
+                nr = nc = m.shape[0]
+                out = out.at[ri : ri + nr].add(m * u[ci : ci + nc])
                 if ti != tj:
-                    out = out.at[tj].add(m * u[ti])
+                    out = out.at[ci : ci + nc].add(m * u[ri : ri + nr])
             else:
-                out = out.at[ti].add(m @ u[tj])
+                nr, nc = m.shape
+                out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
                 if ti != tj:
-                    out = out.at[tj].add(m.T @ u[ti])
+                    out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
             outs.append(out)
         return jnp.stack(outs)
 
     def element_traces_dense(self, p: jax.Array) -> jax.Array:
         """tr(P M_e^(placed)) for every element -> (E,).
 
-        P is (T n, T n) symmetric; cross blocks contribute twice
+        P is (n_total, n_total) symmetric; cross blocks contribute twice
         (trace identity, matrix.cpp:3835)."""
-        T, n = self.n_traits, self.n
-        p4 = p.reshape(T, n, T, n)
+        off = self.offsets
         traces = []
         for ei in range(self.n_elements):
-            m = self.matrices[self.matrix_ids[ei]]
+            m = self.element_matrices[ei]
             ti, tj = self.blocks[ei]
+            ri, ci = off[ti], off[tj]
             if self.diagonal:
-                t = jnp.sum(jnp.diagonal(p4[ti, :, tj, :]) * m)
+                nr = m.shape[0]
+                block = p[ri : ri + nr, ci : ci + nr]
+                t = jnp.sum(jnp.diagonal(block) * m)
             else:
-                t = jnp.einsum("ij,ij->", p4[ti, :, tj, :], m)
+                nr, nc = m.shape
+                t = jnp.einsum(
+                    "ij,ij->", p[ri : ri + nr, ci : ci + nc], m
+                )
             traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
         return jnp.stack(traces)
 
@@ -453,7 +517,7 @@ class CompiledCovariance:
         """tr(P M_e) from the (n, T, T) block-diagonal part of P."""
         traces = []
         for ei in range(self.n_elements):
-            m = self.matrices[self.matrix_ids[ei]]
+            m = self.element_matrices[ei]
             ti, tj = self.blocks[ei]
             t = jnp.sum(p_blocks[:, ti, tj] * m)
             traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)

@@ -46,7 +46,6 @@ def _distributed_dense_quantities(cc, theta, y, x, mesh, block, use_ml=False):
     placement is supported through the same CompiledCovariance; the
     sharded axis is the (T n) row axis.
     """
-    t_axes, n = cc.n_traits, cc.n
     row_spec = NamedSharding(mesh, P("i", None))
 
     v = jax.lax.with_sharding_constraint(cc.assemble_dense(theta), row_spec)
@@ -66,9 +65,7 @@ def _distributed_dense_quantities(cc, theta, y, x, mesh, block, use_ml=False):
     )
     py = p @ y
     ytpy = y @ py
-    mpy = cc.elements_times_vector(py.reshape(t_axes, n)).reshape(
-        cc.n_elements, t_axes * n
-    )
+    mpy = cc.elements_times_vector(py)
     tr_e = cc.element_traces_dense(vi if use_ml else p)
     ypmpy_e = mpy @ py
     a = cc.coefficient_jacobian(theta)
@@ -125,10 +122,15 @@ class DistributedREMLEngine(REMLEngine):
             )
         self.mesh = mesh
         self.block = block
-        # shard the kernel stack over rows (matrices is (D, n, n))
-        spec = NamedSharding(mesh, P(None, "i", None))
-        self.cc = jax.tree_util.tree_map(
-            lambda m: jax.device_put(m, spec) if m.ndim == 3 else m, self.cc
+        # shard every element matrix over rows
+        import dataclasses as _dc
+
+        spec = NamedSharding(mesh, P("i", None))
+        self.cc = _dc.replace(
+            self.cc,
+            element_matrices=tuple(
+                jax.device_put(m, spec) for m in self.cc.element_matrices
+            ),
         )
         use_ml = options.use_ml
         self._quantities = lambda theta: _distributed_dense_quantities(

@@ -560,23 +560,29 @@ class REMLEngine:
         py = q["py"]
         theta = jnp.asarray(self.final_theta, dtype=self.dtype)
         g = np.asarray(self.cc.coefficients(theta))
-        T, n = self.cc.n_traits, self.cc.n
-        py4 = py.reshape(T, n)
-        blup = jnp.zeros((T, n), dtype=py.dtype)
+        off = self.cc.offsets
+        blup = jnp.zeros((self.cc.n_total,), dtype=py.dtype)
         for ei, e in enumerate(self.model.elements):
             if e.subcovariance_id != sub_id:
                 continue
-            m = self.cc.matrices[self.cc.matrix_ids[ei]]
+            m = self.cc.element_matrix(ei, theta)
             ti, tj = e.block
+            ri, ci = off[ti], off[tj]
             if self.cc.diagonal:
-                blup = blup.at[ti].add(g[ei] * m * py4[tj])
+                nr = m.shape[0]
+                blup = blup.at[ri : ri + nr].add(g[ei] * m * py[ci : ci + nr])
                 if ti != tj:
-                    blup = blup.at[tj].add(g[ei] * m * py4[ti])
+                    blup = blup.at[ci : ci + nr].add(
+                        g[ei] * m * py[ri : ri + nr]
+                    )
             else:
-                blup = blup.at[ti].add(g[ei] * (m @ py4[tj]))
+                nr, nc = m.shape
+                blup = blup.at[ri : ri + nr].add(g[ei] * (m @ py[ci : ci + nc]))
                 if ti != tj:
-                    blup = blup.at[tj].add(g[ei] * (m.T @ py4[ti]))
-        return np.asarray(blup.reshape(-1))
+                    blup = blup.at[ci : ci + nc].add(
+                        g[ei] * (m.T @ py[ri : ri + nr])
+                    )
+        return np.asarray(blup)
 
     def residuals(self):
         """e = sigma2_E * Py — the 'E' sub-covariance applied to Py
@@ -596,23 +602,26 @@ from functools import partial as _partial  # noqa: E402
 
 
 def _placed_dense(cc, ei):
-    """Element ei as a dense (Tn, Tn) matrix in its trait-block placement."""
-    T, n = cc.n_traits, cc.n
-    m = cc.matrices[cc.matrix_ids[ei]]
+    """Element ei as a dense (n_total, n_total) placed matrix."""
+    m = cc.element_matrices[ei]
     if cc.diagonal:
         m = jnp.diag(m)
     ti, tj = cc.blocks[ei]
-    out = jnp.zeros((T, n, T, n), dtype=m.dtype)
-    out = out.at[ti, :, tj, :].add(m)
+    off = cc.offsets
+    nt = cc.n_total
+    out = jnp.zeros((nt, nt), dtype=m.dtype)
+    ri, ci = off[ti], off[tj]
+    nr, nc = m.shape
+    out = out.at[ri : ri + nr, ci : ci + nc].add(m)
     if ti != tj:
-        out = out.at[tj, :, ti, :].add(m.T)
-    return out.reshape(T * n, T * n)
+        out = out.at[ci : ci + nc, ri : ri + nr].add(m.T)
+    return out
 
 
 def _placed_blockdiag(cc, ei):
     """Element ei as (n, T, T) per-individual blocks (diagonal mode)."""
     T, n = cc.n_traits, cc.n
-    m = cc.matrices[cc.matrix_ids[ei]]
+    m = cc.element_matrices[ei]
     ti, tj = cc.blocks[ei]
     out = jnp.zeros((n, T, T), dtype=m.dtype)
     out = out.at[:, ti, tj].add(m)
@@ -645,7 +654,7 @@ def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     p = vi - vix @ xtvix_i @ vix.T
     py = p @ y
     ytpy = y @ py
-    mpy = cc.elements_times_vector(py.reshape(T, n)).reshape(cc.n_elements, T * n)
+    mpy = cc.elements_times_vector(py)  # (E, n_total)
     tr_e = cc.element_traces_dense(vi if use_ml else p)
     ypmpy_e = mpy @ py
     a = cc.coefficient_jacobian(theta)  # (E, K)
@@ -714,7 +723,9 @@ def _blockdiag_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     # block-diagonal part of P (PDiagonal via diagonalOfABAt, reml.cpp:1906)
     p_blocks = vi - jnp.einsum("sic,cd,tid->ist", vix, xtvix_i, vix)
     tr_e = cc.element_traces_blockdiag(vi if use_ml else p_blocks)
-    mpy = cc.elements_times_vector(py4)  # (E, T, n)
+    mpy = cc.elements_times_vector(py4.reshape(-1)).reshape(
+        cc.n_elements, T, n
+    )  # (E, T, n)
     ypmpy_e = jnp.einsum("eti,ti->e", mpy, py4)
     a = cc.coefficient_jacobian(theta)
     grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
