@@ -137,6 +137,14 @@ class Kernel:
             normalized=self.normalized,
         )
 
+    def slice_asymmetric(self, row_keys: Sequence[str], col_keys: Sequence[str]):
+        """K[rows, cols] asymmetric sub-block (the asymmetric individual
+        filter, kernel.cpp:1493) — the cross-trait kernel block for
+        differing per-trait individual sets."""
+        ri = np.asarray(indices_of(row_keys, self.individual_keys))
+        ci = np.asarray(indices_of(col_keys, self.individual_keys))
+        return np.asarray(self.dense())[np.ix_(ri, ci)]
+
     def prune(self, cutoff: float) -> "Kernel":
         """Greedily drop individuals until no off-diagonal relatedness
         exceeds `cutoff` (pruneKernel/searchNoHighRelatedIndividuals,

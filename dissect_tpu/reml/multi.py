@@ -89,32 +89,52 @@ class MultiREML:
             for c, p in zip(covariates, phenotypes)
         ]
 
-        common = kernels[0].individual_keys
+        kernel_keys = kernels[0].individual_keys
         for kern in kernels[1:]:
-            common = intersection_keeping_order(common, kern.individual_keys)
-        for p in phenotypes:
-            common = intersection_keeping_order(common, p.keys)
-        for c in covariates:
-            common = intersection_keeping_order(common, c.keys)
-        if not common:
-            raise ValueError("no common individuals between inputs")
-        self.individual_keys = common
-        self.kernels = [k.filter_individuals(common) for k in kernels]
-        n = len(common)
+            kernel_keys = intersection_keeping_order(
+                kernel_keys, kern.individual_keys
+            )
+        # per-trait individual sets in kernel order (the reference's
+        # commonIndividualsInGRMOrder per trait, reml.cpp:262-387)
+        self.trait_keys = []
+        for p, c in zip(phenotypes, covariates):
+            common_t = intersection_keeping_order(kernel_keys, p.keys, c.keys)
+            if not common_t:
+                raise ValueError("a trait has no common individuals")
+            self.trait_keys.append(common_t)
+        self.uniform = all(ks == self.trait_keys[0] for ks in self.trait_keys)
+        self.trait_sizes = [len(ks) for ks in self.trait_keys]
+        # flattened analysis individuals (trait-major)
+        self.individual_keys = (
+            self.trait_keys[0]
+            if self.uniform
+            else [k for ks in self.trait_keys for k in ks]
+        )
+        if self.uniform:
+            self.kernels = [
+                k.filter_individuals(self.trait_keys[0]) for k in kernels
+            ]
+        else:
+            self.kernels = kernels  # sliced per block at model build
 
         ys = []
-        for p in phenotypes:
+        for p, keys in zip(phenotypes, self.trait_keys):
             pm = p.as_dict()
-            ys.append(np.array([pm[k] for k in common], dtype=np.float64))
+            ys.append(np.array([pm[k] for k in keys], dtype=np.float64))
         self.ys = ys
         self.y = np.concatenate(ys)
 
-        xs = [c.filter_individuals(common).matrix for c in covariates]
+        xs = [
+            c.filter_individuals(keys).matrix
+            for c, keys in zip(covariates, self.trait_keys)
+        ]
         c_tot = sum(x.shape[1] for x in xs)
-        self.x = np.zeros((self.n_traits * n, c_tot), dtype=np.float64)
-        col = 0
-        for t, x in enumerate(xs):
-            self.x[t * n : (t + 1) * n, col : col + x.shape[1]] = x
+        n_total = sum(self.trait_sizes)
+        self.x = np.zeros((n_total, c_tot), dtype=np.float64)
+        row = col = 0
+        for x in xs:
+            self.x[row : row + x.shape[0], col : col + x.shape[1]] = x
+            row += x.shape[0]
             col += x.shape[1]
         self.xs = xs
 
@@ -128,18 +148,59 @@ class MultiREML:
             initial_residual_variance(y, x) for y, x in zip(self.ys, self.xs)
         ]
         h2s = [self.options.initial_h2] * self.n_traits
-        mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]
         names = [k.name for k in self.kernels]
-        model = build_variance_model(
-            mats,
-            names,
-            pheno_vars,
-            h2s,
-            weights=weights,
-            n_traits=self.n_traits,
-            use_correlations=self.use_correlations,
-            environmental_covariance=self.environmental_covariance,
-        )
+        if self.uniform:
+            mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]
+            model = build_variance_model(
+                mats,
+                names,
+                pheno_vars,
+                h2s,
+                weights=weights,
+                n_traits=self.n_traits,
+                use_correlations=self.use_correlations,
+                environmental_covariance=self.environmental_covariance,
+            )
+        else:
+            # differing per-trait individual sets: asymmetric kernel
+            # blocks K[S_t, S_u]; environmental covariance only where
+            # individuals overlap (reml.cpp:790-877)
+            from dissect_tpu.reml.builders import build_variance_model_asymmetric
+
+            kernel_blocks = {}
+            for kern in self.kernels:
+                blocks = {}
+                for t in range(self.n_traits):
+                    for u in range(t, self.n_traits):
+                        blocks[(t, u)] = kern.slice_asymmetric(
+                            self.trait_keys[t], self.trait_keys[u]
+                        ).astype(np.float64)
+                kernel_blocks[kern.name] = blocks
+            env_cross = {}
+            if self.environmental_covariance:
+                for t in range(self.n_traits):
+                    for u in range(t + 1, self.n_traits):
+                        keys_u = {k: j for j, k in enumerate(self.trait_keys[u])}
+                        mat = np.zeros(
+                            (self.trait_sizes[t], self.trait_sizes[u])
+                        )
+                        shared = 0
+                        for i, key in enumerate(self.trait_keys[t]):
+                            j = keys_u.get(key)
+                            if j is not None:
+                                mat[i, j] = 1.0
+                                shared += 1
+                        if shared:
+                            env_cross[(t, u)] = mat
+            model = build_variance_model_asymmetric(
+                kernel_blocks,
+                pheno_vars,
+                h2s,
+                self.trait_sizes,
+                env_cross,
+                weights=weights,
+                use_correlations=self.use_correlations,
+            )
         engine = REMLEngine(model, self.y, self.x, self.options)
         result = engine.fit(initial_theta)
 
