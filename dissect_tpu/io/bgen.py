@@ -1,12 +1,14 @@
-"""BGEN genotype loader (layout 2, biallelic diploid).
+"""BGEN genotype loader (layouts 1 and 2, biallelic diploid).
 
 Parity: genotypebgen.cpp — reads expected allele-2 dosages from BGEN
 probability data, biallelic + diploid only (genotypebgen.cpp:106-122),
 computing per-variant mean/std on the fly and feeding the same
-genotype containers as the PLINK path.  Layout 1 (--bgen-l1) and the
-reference's libbgen visitor machinery map onto a pure-Python parser of
-the v1.2/1.3 spec: per-variant blocks of zlib/zstd-compressed
-bit-packed probabilities.
+genotype containers as the PLINK path.  Layout 1 (--bgen-l1,
+options.cpp:1118) and the reference's libbgen visitor machinery map
+onto a pure-Python parser of the v1.1/1.2/1.3 spec: per-variant blocks
+of zlib/zstd-compressed probabilities (layout 1: three uint16s per
+individual scaled by 32768; layout 2: bit-packed with per-sample
+ploidy).
 
 Because dosages are continuous, the loader exposes them as float32
 (GenotypeAttributes::dosages analog); the REML/GWAS layers treat them
@@ -19,6 +21,11 @@ import dataclasses
 import struct
 import zlib
 from typing import List, Optional, Tuple
+
+try:  # zstd-compressed BGEN (spec v1.3); gated — not all builds ship it
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
 
 import numpy as np
 
@@ -119,10 +126,12 @@ def read_bgen(
     compression = flags & 0x3  # 0 none, 1 zlib, 2 zstd
     layout = (flags >> 2) & 0xF
     has_sample_ids = (flags >> 31) & 0x1
-    if layout != 2:
-        raise ValueError(f"{path}: only BGEN layout 2 is supported (got {layout})")
-    if compression == 2:
-        raise ValueError(f"{path}: zstd-compressed BGEN not supported in this build")
+    if layout not in (1, 2):
+        raise ValueError(f"{path}: unsupported BGEN layout {layout}")
+    if compression == 2 and _zstd is None:
+        raise ValueError(
+            f"{path}: zstd-compressed BGEN needs the zstandard module"
+        )
 
     pos = 4 + header_len
     individuals: List[IndividualInfo] = []
@@ -145,29 +154,56 @@ def read_bgen(
     rows: List[np.ndarray] = []
     n_to_read = n_variants if max_variants is None else min(max_variants, n_variants)
     for _ in range(n_to_read):
+        if layout == 1:
+            # v1.1 blocks lead with N and are always biallelic
+            (n_block,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
         _vid, pos = _read_string(buf, pos)
         rsid, pos = _read_string(buf, pos)
         chrom, pos = _read_string(buf, pos)
         (bp,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        (n_alleles,) = struct.unpack_from("<H", buf, pos)
-        pos += 2
+        if layout == 1:
+            n_alleles = 2
+        else:
+            (n_alleles,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
         alleles = []
         for _ in range(n_alleles):
             a, pos = _read_string(buf, pos, len_bytes=4)
             alleles.append(a)
-        (geno_len,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
+        if layout == 1:
+            if compression == 1:
+                (geno_len,) = struct.unpack_from("<I", buf, pos)
+                pos += 4
+            else:
+                geno_len = 6 * n_samples
+        else:
+            (geno_len,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
         geno_block = buf[pos : pos + geno_len]
         pos += geno_len
         if n_alleles != 2:
             continue  # biallelic only (genotypebgen.cpp:106-122)
-        if compression == 1:
-            (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
-            data = zlib.decompress(bytes(geno_block[4:]))
+        if layout == 1:
+            data = (
+                zlib.decompress(bytes(geno_block))
+                if compression == 1
+                else bytes(geno_block)
+            )
+            dosage = _parse_layout1_dosage(data, n_samples)
         else:
-            data = bytes(geno_block)
-        dosage = _parse_layout2_dosage(data, n_samples)
+            if compression == 1:
+                (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
+                data = zlib.decompress(bytes(geno_block[4:]))
+            elif compression == 2:
+                (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
+                data = _zstd.ZstdDecompressor().decompress(
+                    bytes(geno_block[4:]), max_output_size=uncompressed_len
+                )
+            else:
+                data = bytes(geno_block)
+            dosage = _parse_layout2_dosage(data, n_samples)
         if dosage is None:
             continue
         snps.append(SnpInfo(chrom, rsid, 0.0, bp, alleles[0], alleles[1]))
@@ -177,6 +213,21 @@ def read_bgen(
         np.vstack(rows) if rows else np.zeros((0, n_samples), dtype=np.float32)
     )
     return BgenData(snps=snps, individuals=individuals, dosages=dosages)
+
+
+def _parse_layout1_dosage(data: bytes, n_samples: int) -> Optional[np.ndarray]:
+    """Expected allele-2 dosage from a layout-1 (v1.1) probability block:
+    three uint16 probabilities P(AA), P(AB), P(BB) per individual scaled
+    by 32768; an all-zero triple marks a missing genotype."""
+    if len(data) != 6 * n_samples:
+        return None
+    probs = np.frombuffer(data, dtype="<u2").reshape(n_samples, 3) / 32768.0
+    psum = probs.sum(axis=1)
+    missing = psum <= 0.0
+    safe = np.where(missing, 1.0, psum)
+    dosage = ((probs[:, 1] + 2.0 * probs[:, 2]) / safe).astype(np.float32)
+    dosage[missing] = np.nan
+    return dosage
 
 
 def _parse_layout2_dosage(data: bytes, n_samples: int) -> Optional[np.ndarray]:
@@ -208,16 +259,26 @@ def _parse_layout2_dosage(data: bytes, n_samples: int) -> Optional[np.ndarray]:
     return dosage
 
 
-def write_bgen(path: str, data: BgenData, bits: int = 8):
-    """Write layout-2 zlib 8/16-bit unphased BGEN (fixture generation +
-    interop testing; hard genotypes get probability 1)."""
+def write_bgen(
+    path: str,
+    data: BgenData,
+    bits: int = 8,
+    layout: int = 2,
+    compression: str = "zlib",
+):
+    """Write BGEN (fixture generation + interop testing; hard genotypes
+    get probability 1).  layout 2: zlib/zstd/none 8/16-bit unphased;
+    layout 1 (v1.1): uint16 probability triples, zlib or none."""
     if bits not in (8, 16):
         raise ValueError("writer supports 8- or 16-bit probabilities")
+    comp_code = {"none": 0, "zlib": 1, "zstd": 2}[compression]
+    if comp_code == 2 and (layout == 1 or _zstd is None):
+        raise ValueError("zstd requires layout 2 and the zstandard module")
     n = data.n_individuals
     chunks = []
     # header
     header = struct.pack("<III4s", 20, data.n_snps, n, b"bgen")
-    flags = (1) | (2 << 2) | (1 << 31)  # zlib, layout 2, sample ids
+    flags = comp_code | (layout << 2) | (1 << 31)
     header += struct.pack("<I", flags)
     # sample identifier block
     ids = b""
@@ -234,34 +295,57 @@ def write_bgen(path: str, data: BgenData, bits: int = 8):
     for i, snp in enumerate(data.snps):
         vid = snp.name.encode()
         chrom = snp.chromosome.encode()
-        var = struct.pack("<H", len(vid)) + vid
+        var = b"" if layout == 2 else struct.pack("<I", n)
+        var += struct.pack("<H", len(vid)) + vid
         var += struct.pack("<H", len(vid)) + vid
         var += struct.pack("<H", len(chrom)) + chrom
         var += struct.pack("<I", snp.position_bp)
-        var += struct.pack("<H", 2)
+        if layout == 2:
+            var += struct.pack("<H", 2)
         for allele in (snp.allele1, snp.allele2):
             a = allele.encode()
             var += struct.pack("<I", len(a)) + a
         d = data.dosages[i]
         missing = np.isnan(d)
         dd = np.where(missing, 0.0, d)
-        p11 = np.clip(1.0 - dd / 2.0, 0, 1) * 0.0
         # hard-call style: represent expected dosage via p12/p22 mix
         p22 = np.clip(dd - 1.0, 0.0, 1.0)
         p12 = np.clip(dd - 2.0 * p22, 0.0, 1.0)
         p11 = np.clip(1.0 - p12 - p22, 0.0, 1.0)
-        probs = np.stack([p11, p12], axis=1)
-        vals = np.round(probs * denom).astype(dtype)
-        ploidy = np.full(n, 2, dtype=np.uint8)
-        ploidy[missing] = 2 | 0x80
-        payload = (
-            struct.pack("<IHBB", n, 2, 2, 2)
-            + ploidy.tobytes()
-            + struct.pack("<BB", 0, bits)
-            + vals.tobytes()
-        )
-        comp = zlib.compress(payload)
-        geno = struct.pack("<I", len(comp) + 4) + struct.pack("<I", len(payload)) + comp
+        if layout == 1:
+            probs = np.stack([p11, p12, p22], axis=1)
+            vals = np.round(probs * 32768.0).astype("<u2")
+            vals[missing] = 0  # all-zero triple = missing (v1.1 spec)
+            payload = vals.tobytes()
+            if comp_code == 1:
+                comp = zlib.compress(payload)
+                geno = struct.pack("<I", len(comp)) + comp
+            else:
+                geno = payload
+        else:
+            probs = np.stack([p11, p12], axis=1)
+            vals = np.round(probs * denom).astype(dtype)
+            ploidy = np.full(n, 2, dtype=np.uint8)
+            ploidy[missing] = 2 | 0x80
+            payload = (
+                struct.pack("<IHBB", n, 2, 2, 2)
+                + ploidy.tobytes()
+                + struct.pack("<BB", 0, bits)
+                + vals.tobytes()
+            )
+            if comp_code == 0:
+                geno = struct.pack("<I", len(payload)) + payload
+            else:
+                comp = (
+                    zlib.compress(payload)
+                    if comp_code == 1
+                    else _zstd.ZstdCompressor().compress(payload)
+                )
+                geno = (
+                    struct.pack("<I", len(comp) + 4)
+                    + struct.pack("<I", len(payload))
+                    + comp
+                )
         chunks.append(var + geno)
     with open(path, "wb") as fh:
         fh.write(b"".join(chunks))

@@ -32,6 +32,40 @@ class TestBgen:
         )
         assert np.isnan(loaded.dosages[0, 3])
 
+    @pytest.mark.parametrize(
+        "layout,compression,bits",
+        [
+            (1, "zlib", 16),
+            (1, "none", 16),
+            (2, "zstd", 16),
+            (2, "none", 8),
+        ],
+    )
+    def test_roundtrip_layouts_compressions(
+        self, tmp_path, rng, layout, compression, bits
+    ):
+        """Layout-1 (v1.1, --bgen-l1 analog) and zstd/uncompressed
+        layout-2 blocks decode to the same dosages."""
+        from dissect_tpu.io.bed import IndividualInfo, SnpInfo
+        from dissect_tpu.io.bgen import BgenData, read_bgen, write_bgen
+
+        n, m = 17, 9
+        dosage = rng.uniform(0, 2, size=(m, n)).astype(np.float32)
+        dosage[2, 5] = np.nan
+        data = BgenData(
+            snps=[SnpInfo("1", f"v{i}", 0.0, 100 + i, "A", "G") for i in range(m)],
+            individuals=[IndividualInfo(f"s{i}", f"s{i}") for i in range(n)],
+            dosages=dosage,
+        )
+        path = str(tmp_path / f"test_l{layout}_{compression}.bgen")
+        write_bgen(path, data, bits=bits, layout=layout, compression=compression)
+        loaded = read_bgen(path)
+        assert loaded.n_snps == m and loaded.n_individuals == n
+        mask = ~np.isnan(dosage)
+        atol = 2e-4 if bits == 16 or layout == 1 else 8e-3
+        np.testing.assert_allclose(loaded.dosages[mask], dosage[mask], atol=atol)
+        assert np.isnan(loaded.dosages[2, 5])
+
     def test_stats(self, tmp_path, rng):
         from dissect_tpu.io.bed import IndividualInfo, SnpInfo
         from dissect_tpu.io.bgen import BgenData
