@@ -1,0 +1,258 @@
+"""Distributed full-spectrum symmetric eigensolver (QDWH-eig style).
+
+Parity: Matrix::eigenDecomposition -> pdsyev_ (matrix.cpp:3327-3380) at
+sizes where gathering the N x N operand to one device is impossible.
+The reference gets a cooperative full-spectrum solve from ScaLAPACK;
+XLA's native eigh on a sharded operand all-gathers it per device, so
+beyond-HBM N needs a genuinely distributed algorithm.
+
+TPU-first design — spectral divide-and-conquer via the matrix sign
+function (Nakatsukasa & Higham's QDWH-eig recast for a row-sharded
+mesh).  Everything is matmuls, Cholesky factorizations and triangular
+solves, the three primitives the MXU + our shard_map kernels
+(linalg/distributed.py) already do at scale:
+
+  1. pick a split point sigma (median of the diagonal);
+  2. U = sign(A - sigma I) via QDWH dynamically-weighted rational
+     iterations: X <- (b/c) X + (a - b/c) X (I + c X^2)^{-1}, each step
+     one sharded symmetric matmul + one sharded SPD solve, followed by
+     Newton-Schulz polishing X <- X (3 I - X^2) / 2 — all MXU work;
+  3. the projectors (I -/+ U)/2 split the spectrum; ranks come from
+     trace(U); invariant-subspace bases via randomized range finding
+     orthonormalized with CholeskyQR2 (again: matmuls + small Cholesky);
+  4. recurse on the Rayleigh quotients Q^T A Q until subproblems fit a
+     single device, then jnp.linalg.eigh locally.
+
+The QDWH coefficient schedule is computed on host from the scalar l0
+(relative lower bound on |eig(A) - sigma| / alpha), so the device loop
+has a fixed trip count (jit/scan friendly).  Padding to the mesh's
+divisibility requirement appends exact +1 fixed points of the rational
+map (f(1) = (a+b)/(1+c) = 1 since c = a+b-1), so padded rows never
+contaminate the spectrum.
+
+Accuracy note: run in float64 on CPU meshes / for parity tests; on TPU
+use float32 with a looser l0 — the sign function only needs to resolve
+the gap at the split point, not the full spectrum conditioning.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dissect_tpu.linalg.distributed import (
+    distributed_cholesky,
+    distributed_triangular_solve,
+)
+
+
+def qdwh_coefficients(l0: float, max_iter: int = 12):
+    """Host-side QDWH dynamic-weighting schedule from the lower bound l0.
+
+    Returns the (a, b, c) list; the map x -> x (a + b x^2)/(1 + c x^2)
+    drives |x| in [l0, 1] to 1 cubically (~6 steps for l0 = 1e-16)."""
+    coeffs = []
+    l = float(min(max(l0, 1e-16), 1.0))
+    while len(coeffs) < max_iter:
+        d = (4.0 * (1.0 - l * l) / (l ** 4)) ** (1.0 / 3.0)
+        a = math.sqrt(1.0 + d) + 0.5 * math.sqrt(
+            max(8.0 - 4.0 * d + 8.0 * (2.0 - l * l) / (l * l * math.sqrt(1.0 + d)), 0.0)
+        )
+        b = (a - 1.0) ** 2 / 4.0
+        c = a + b - 1.0
+        coeffs.append((a, b, c))
+        l = l * (a + b * l * l) / (1.0 + c * l * l)
+        if abs(1.0 - l) < 1e-14:
+            break
+    return coeffs
+
+
+def _pad_spd(x, target, diag):
+    """Embed x in a (target, target) block with `diag` on the padding."""
+    n = x.shape[0]
+    if target == n:
+        return x
+    out = jnp.zeros((target, target), x.dtype)
+    out = out.at[:n, :n].set(x)
+    idx = jnp.arange(n, target)
+    return out.at[idx, idx].set(diag)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "block", "ns_iters"))
+def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
+    """sign(X) for symmetric X already padded to the mesh divisibility.
+
+    One lax.scan step = X^2 (sharded matmul) + SPD solve of
+    (I + c X^2) Y = X via the distributed blocked Cholesky; then
+    `ns_iters` Newton-Schulz polish steps."""
+    n = x.shape[0]
+    spec = None
+    if mesh is not None:
+        spec = NamedSharding(mesh, P(axis, None))
+        x = jax.lax.with_sharding_constraint(x, spec)
+    eye = jnp.eye(n, dtype=x.dtype)
+
+    def spd_solve(z, rhs):
+        if mesh is None:
+            chol = jnp.linalg.cholesky(z)
+            y = jax.lax.linalg.triangular_solve(
+                chol, rhs, left_side=True, lower=True
+            )
+            return jax.lax.linalg.triangular_solve(
+                chol, y, left_side=True, lower=True, transpose_a=True
+            )
+        l, _ = distributed_cholesky(z, mesh, axis, block)
+        y = distributed_triangular_solve(l, rhs, mesh, axis, block)
+        lt_flipped = jnp.flip(l.T, (0, 1))
+        out = distributed_triangular_solve(
+            lt_flipped, jnp.flip(y, 0), mesh, axis, block
+        )
+        return jnp.flip(out, 0)
+
+    def step(x, abc):
+        a, b, c = abc[0], abc[1], abc[2]
+        x2 = x @ x
+        z = c * x2 + eye
+        y = spd_solve(z, x)
+        x = (b / c) * x + (a - b / c) * y
+        x = 0.5 * (x + x.T)
+        if spec is not None:
+            x = jax.lax.with_sharding_constraint(x, spec)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, coeffs_arr)
+
+    def polish(_, x):
+        x = 0.5 * x @ (3.0 * eye - x @ x)
+        x = 0.5 * (x + x.T)
+        if spec is not None:
+            x = jax.lax.with_sharding_constraint(x, spec)
+        return x
+
+    x = jax.lax.fori_loop(0, ns_iters, polish, x)
+    return x
+
+
+def matrix_sign(
+    a,
+    mesh: Optional[Mesh] = None,
+    axis: str = "i",
+    block: int = 64,
+    l0: float = 1e-6,
+    ns_iters: int = 2,
+):
+    """sign(A) of a symmetric matrix with no zero eigenvalues.
+
+    Scale by alpha = min(frobenius, max row 1-norm) >= ||A||_2, pad to
+    the mesh divisibility with +1 fixed points, run the QDWH schedule."""
+    n = a.shape[0]
+    fro = jnp.linalg.norm(a)
+    row1 = jnp.max(jnp.sum(jnp.abs(a), axis=1))
+    alpha = jnp.minimum(fro, row1) + jnp.asarray(1e-30, a.dtype)
+    x = a / alpha
+
+    target = n
+    if mesh is not None:
+        q = mesh.shape[axis] * block
+        target = int(-(-n // q) * q)
+    x = _pad_spd(x, target, jnp.asarray(1.0, a.dtype))
+    coeffs = np.asarray(qdwh_coefficients(l0), dtype=np.float64)
+    u = _sign_padded(
+        x,
+        jnp.asarray(coeffs, dtype=a.dtype),
+        mesh,
+        axis,
+        block,
+        ns_iters,
+    )
+    return u[:n, :n]
+
+
+@jax.jit
+def _cholqr2(y):
+    """Orthonormalize columns of y via two rounds of Cholesky-QR.
+
+    Matmul-rich TSQR replacement: Gram + small Cholesky + triangular
+    solve, repeated to recover orthogonality lost to squaring the
+    condition number."""
+    for _ in range(2):
+        gram = y.T @ y
+        r = jnp.linalg.cholesky(gram)
+        y = jax.lax.linalg.triangular_solve(
+            r, y, left_side=False, lower=True, transpose_a=True
+        )
+    return y
+
+
+def _subspace_basis(proj, k, rng):
+    """Orthonormal basis (n, k) of the range of a rank-k projector."""
+    n = proj.shape[0]
+    g = jnp.asarray(
+        rng.standard_normal((n, k)), dtype=proj.dtype
+    )
+    return _cholqr2(proj @ g)
+
+
+def distributed_eigh(
+    a,
+    mesh: Optional[Mesh] = None,
+    axis: str = "i",
+    block: int = 64,
+    base_size: int = 1024,
+    l0: float = 1e-6,
+    seed: int = 0,
+    max_depth: int = 32,
+):
+    """Full eigendecomposition (w ascending, V) via spectral D&C.
+
+    All O(N^3) work is sharded matmuls / blocked Cholesky when `mesh`
+    is given; subproblems of size <= base_size use local jnp eigh.
+    """
+    a = jnp.asarray(a)
+    rng = np.random.default_rng(seed)
+    n = a.shape[0]
+
+    def rec(a_sub, depth):
+        m = a_sub.shape[0]
+        if m <= base_size or depth >= max_depth:
+            return jnp.linalg.eigh(a_sub)
+        diag = jnp.diagonal(a_sub)
+        sigma = jnp.median(diag)
+        shifted = a_sub - sigma * jnp.eye(m, dtype=a_sub.dtype)
+        u = matrix_sign(shifted, mesh, axis, block, l0)
+        tr = float(jnp.trace(u))
+        k = int(round((m - tr) / 2.0))
+        if k <= 0 or k >= m:
+            # split point fell outside (clustered spectrum): try the
+            # midpoint of the diagonal range once, else solve locally
+            lo, hi = float(jnp.min(diag)), float(jnp.max(diag))
+            sigma2 = 0.5 * (lo + hi)
+            if abs(sigma2 - float(sigma)) > 1e-12 * max(abs(hi), 1.0):
+                shifted = a_sub - sigma2 * jnp.eye(m, dtype=a_sub.dtype)
+                u = matrix_sign(shifted, mesh, axis, block, l0)
+                tr = float(jnp.trace(u))
+                k = int(round((m - tr) / 2.0))
+            if k <= 0 or k >= m:
+                return jnp.linalg.eigh(a_sub)
+        eye = jnp.eye(m, dtype=a_sub.dtype)
+        q1 = _subspace_basis(0.5 * (eye - u), k, rng)
+        q2 = _subspace_basis(0.5 * (eye + u), m - k, rng)
+        a1 = q1.T @ (a_sub @ q1)
+        a2 = q2.T @ (a_sub @ q2)
+        a1 = 0.5 * (a1 + a1.T)
+        a2 = 0.5 * (a2 + a2.T)
+        w1, v1 = rec(a1, depth + 1)
+        w2, v2 = rec(a2, depth + 1)
+        w = jnp.concatenate([w1, w2])
+        v = jnp.concatenate([q1 @ v1, q2 @ v2], axis=1)
+        return w, v
+
+    w, v = rec(a, 0)
+    order = jnp.argsort(w)
+    return w[order], v[:, order]

@@ -104,12 +104,22 @@ class Kernel:
             matrix=a.dense() * b.dense(),
         )
 
-    def diagonalize(self) -> "Kernel":
+    def diagonalize(self, mesh=None, **dc_options) -> "Kernel":
         """Eigendecompose; drop the dense kernel and counts
-        (diagonalizeKernel, kernel.cpp:2106-2141)."""
+        (diagonalizeKernel, kernel.cpp:2106-2141).
+
+        With `mesh` the sign-function divide-and-conquer solver
+        (linalg/dc_eigen.py) runs the full spectrum as sharded matmuls
+        + blocked Cholesky — the path for N x N kernels that exceed a
+        single device's HBM."""
         if self.diagonalized:
             return self
-        w, u = eigh_full(self.dense())
+        if mesh is not None:
+            from dissect_tpu.linalg.dc_eigen import distributed_eigh
+
+            w, u = distributed_eigh(self.dense(), mesh=mesh, **dc_options)
+        else:
+            w, u = eigh_full(self.dense())
         return Kernel(
             name=self.name,
             type=self.type,

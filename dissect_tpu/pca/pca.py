@@ -44,13 +44,18 @@ class PCA:
 
 
 def compute_pca(
-    kernel: Kernel, n_components: int = 20, randomized: Optional[bool] = None
+    kernel: Kernel,
+    n_components: int = 20,
+    randomized: Optional[bool] = None,
+    mesh=None,
 ) -> PCA:
     """Top-k eigenpairs of a kernel.
 
     `randomized=None` auto-selects subspace iteration when
     k < n/8 (matmul-rich, avoids the full solve); a diagonalized kernel
-    reuses its stored eigendecomposition.
+    reuses its stored eigendecomposition.  With `mesh` the full solve
+    runs the distributed sign-function divide-and-conquer
+    (linalg/dc_eigen.py) instead of a one-device eigh.
     """
     n = kernel.n
     k = min(n_components, n)
@@ -72,7 +77,12 @@ def compute_pca(
             eigenvalues=np.asarray(w),
             eigenvectors=np.asarray(v),
         )
-    w, v = eigh_full(kernel.dense())
+    if mesh is not None:
+        from dissect_tpu.linalg.dc_eigen import distributed_eigh
+
+        w, v = distributed_eigh(kernel.dense(), mesh=mesh)
+    else:
+        w, v = eigh_full(kernel.dense())
     w = np.asarray(w)[::-1][:k]
     v = np.asarray(v)[:, ::-1][:, :k]
     return PCA(
