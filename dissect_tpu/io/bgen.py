@@ -113,6 +113,7 @@ def read_bgen(
     path: str,
     sample_path: Optional[str] = None,
     max_variants: Optional[int] = None,
+    native: bool = True,
 ) -> BgenData:
     with open(path, "rb") as fh:
         raw = fh.read()
@@ -149,9 +150,11 @@ def read_bgen(
     else:
         individuals = [IndividualInfo(f"sample_{i}", f"sample_{i}") for i in range(n_samples)]
 
+    # --- pass 1: index the variant blocks (cheap header scan) -------------
     pos = offset + 4
-    snps: List[SnpInfo] = []
-    rows: List[np.ndarray] = []
+    cand_snps: List[SnpInfo] = []
+    offs: List[int] = []
+    lens: List[int] = []
     n_to_read = n_variants if max_variants is None else min(max_variants, n_variants)
     for _ in range(n_to_read):
         if layout == 1:
@@ -181,38 +184,65 @@ def read_bgen(
         else:
             (geno_len,) = struct.unpack_from("<I", buf, pos)
             pos += 4
-        geno_block = buf[pos : pos + geno_len]
+        if n_alleles == 2:  # biallelic only (genotypebgen.cpp:106-122)
+            cand_snps.append(SnpInfo(chrom, rsid, 0.0, bp, alleles[0], alleles[1]))
+            offs.append(pos)
+            lens.append(geno_len)
         pos += geno_len
-        if n_alleles != 2:
-            continue  # biallelic only (genotypebgen.cpp:106-122)
-        if layout == 1:
-            data = (
-                zlib.decompress(bytes(geno_block))
-                if compression == 1
-                else bytes(geno_block)
-            )
-            dosage = _parse_layout1_dosage(data, n_samples)
-        else:
-            if compression == 1:
-                (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
-                data = zlib.decompress(bytes(geno_block[4:]))
-            elif compression == 2:
-                (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
-                data = _zstd.ZstdDecompressor().decompress(
-                    bytes(geno_block[4:]), max_output_size=uncompressed_len
-                )
-            else:
-                data = bytes(geno_block)
-            dosage = _parse_layout2_dosage(data, n_samples)
-        if dosage is None:
-            continue
-        snps.append(SnpInfo(chrom, rsid, 0.0, bp, alleles[0], alleles[1]))
-        rows.append(dosage)
 
-    dosages = (
-        np.vstack(rows) if rows else np.zeros((0, n_samples), dtype=np.float32)
-    )
+    # --- pass 2: bulk probability decode (native OpenMP, Python fallback) -
+    m = len(cand_snps)
+    dosages = np.zeros((m, n_samples), dtype=np.float32)
+    decoded = np.zeros(m, dtype=bool)
+    if native and m:
+        try:
+            from dissect_tpu.native import bgen_native
+
+            if bgen_native.available():
+                dosages, status = bgen_native.decode_blocks(
+                    raw, np.asarray(offs), np.asarray(lens),
+                    n_samples, compression, layout,
+                )
+                decoded = status == 0
+        except Exception:
+            decoded = np.zeros(m, dtype=bool)
+    for i in range(m):
+        if decoded[i]:
+            continue
+        dosage = _decode_block_py(
+            buf[offs[i] : offs[i] + lens[i]], n_samples, compression, layout
+        )
+        if dosage is not None:
+            dosages[i] = dosage
+            decoded[i] = True
+
+    snps = [s for i, s in enumerate(cand_snps) if decoded[i]]
+    dosages = dosages[decoded] if m else np.zeros((0, n_samples), np.float32)
     return BgenData(snps=snps, individuals=individuals, dosages=dosages)
+
+
+def _decode_block_py(
+    geno_block: memoryview, n_samples: int, compression: int, layout: int
+) -> Optional[np.ndarray]:
+    """Pure-Python decode of one genotype block (fallback path)."""
+    if layout == 1:
+        data = (
+            zlib.decompress(bytes(geno_block))
+            if compression == 1
+            else bytes(geno_block)
+        )
+        return _parse_layout1_dosage(data, n_samples)
+    if compression == 1:
+        (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
+        data = zlib.decompress(bytes(geno_block[4:]))
+    elif compression == 2:
+        (uncompressed_len,) = struct.unpack_from("<I", geno_block, 0)
+        data = _zstd.ZstdDecompressor().decompress(
+            bytes(geno_block[4:]), max_output_size=uncompressed_len
+        )
+    else:
+        data = bytes(geno_block)
+    return _parse_layout2_dosage(data, n_samples)
 
 
 def _parse_layout1_dosage(data: bytes, n_samples: int) -> Optional[np.ndarray]:

@@ -66,6 +66,35 @@ class TestBgen:
         np.testing.assert_allclose(loaded.dosages[mask], dosage[mask], atol=atol)
         assert np.isnan(loaded.dosages[2, 5])
 
+    @pytest.mark.parametrize(
+        "layout,compression", [(2, "zlib"), (2, "zstd"), (1, "zlib")]
+    )
+    def test_native_matches_python(self, tmp_path, rng, layout, compression):
+        """The OpenMP bulk decoder (native/bgen_decode.cpp) is bit-exact
+        against the per-variant Python parser."""
+        from dissect_tpu.io.bed import IndividualInfo, SnpInfo
+        from dissect_tpu.io.bgen import BgenData, read_bgen, write_bgen
+        from dissect_tpu.native import bgen_native
+
+        if not bgen_native.available():
+            pytest.skip("native BGEN decoder unavailable")
+        n, m = 33, 21
+        dosage = rng.uniform(0, 2, size=(m, n)).astype(np.float32)
+        dosage[4, 11] = np.nan
+        data = BgenData(
+            snps=[SnpInfo("1", f"v{i}", 0.0, i, "A", "G") for i in range(m)],
+            individuals=[IndividualInfo(f"s{i}", f"s{i}") for i in range(n)],
+            dosages=dosage,
+        )
+        path = str(tmp_path / "nat.bgen")
+        write_bgen(path, data, bits=16, layout=layout, compression=compression)
+        a = read_bgen(path)
+        b = read_bgen(path, native=False)
+        assert a.n_snps == b.n_snps == m
+        mask = ~np.isnan(b.dosages)
+        np.testing.assert_array_equal(np.isnan(a.dosages), np.isnan(b.dosages))
+        np.testing.assert_array_equal(a.dosages[mask], b.dosages[mask])
+
     def test_stats(self, tmp_path, rng):
         from dissect_tpu.io.bed import IndividualInfo, SnpInfo
         from dissect_tpu.io.bgen import BgenData
