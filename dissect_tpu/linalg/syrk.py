@@ -68,6 +68,29 @@ def grm_update(kernel, counts, dosage, mean, inv_std, compute_dtype=jnp.float32,
     return kernel, counts
 
 
+@partial(
+    jax.jit,
+    static_argnames=("compute_dtype", "block_n", "block_m", "interpret"),
+)
+def grm_update_packed(
+    kernel_tiles, counts_tiles, dosage, mean, inv_std,
+    compute_dtype=jnp.bfloat16, block_n=512, block_m=2048, interpret=False,
+):
+    """Packed-triangle accumulation step: only the lower-triangle tiles
+    of Z_c^T Z_c / O_c^T O_c are computed (linalg/pallas_syrk.py; the
+    pdsyrk_ economy, matrix.cpp:2682) and stay packed across chunks."""
+    from dissect_tpu.linalg.pallas_syrk import syrk_triangle_packed
+
+    z, observed = standardize_chunk(dosage, mean, inv_std, compute_dtype)
+    kernel_tiles = kernel_tiles + syrk_triangle_packed(
+        z, block_n, block_m, interpret
+    )
+    counts_tiles = counts_tiles + syrk_triangle_packed(
+        observed, block_n, block_m, interpret
+    )
+    return kernel_tiles, counts_tiles
+
+
 class grm_accumulator:
     """Streaming GRM builder: feed (chunk, N) dosage blocks, finalize to
     (kernel, counts).
@@ -76,26 +99,78 @@ class grm_accumulator:
     fused standardize+syrk step.  This is the TPU equivalent of the
     reference's block-row BED streaming + pdsyrk accumulation
     (genotype.cpp:639-707, kernel.cpp:92-109).
+
+    triangle=True switches to the Pallas triangle-only kernel: tiles
+    accumulate PACKED (half the MXU work per chunk — measured 1.4x the
+    XLA full-syrk throughput on v5e) and the symmetric matrix is
+    mirrored once in finalize().  Requires a TPU backend (or
+    interpret=True for testing).
     """
 
     def __init__(self, n_individuals: int, dtype=jnp.float32, accum_dtype=None,
-                 compute_dtype=None, sharding: Optional[jax.sharding.Sharding] = None):
+                 compute_dtype=None, sharding: Optional[jax.sharding.Sharding] = None,
+                 triangle: bool = False, block_n: int = 512,
+                 block_m: int = 2048, interpret: bool = False):
         accum_dtype = accum_dtype or (jnp.float32 if dtype == jnp.bfloat16 else dtype)
-        self.kernel = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
-        self.counts = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
-        if sharding is not None:
-            self.kernel = jax.device_put(self.kernel, sharding)
-            self.counts = jax.device_put(self.counts, sharding)
+        self.n = n_individuals
+        self.triangle = triangle
+        self.block_n = block_n
+        self.block_m = block_m
+        self.interpret = interpret
         self.accum_dtype = accum_dtype
         self.compute_dtype = compute_dtype or dtype
+        self.dtype = dtype
+        if triangle:
+            from dissect_tpu.linalg.pallas_syrk import packed_shape
+
+            shape = packed_shape(n_individuals, block_n)
+            self.kernel = jnp.zeros(shape, jnp.float32)
+            self.counts = jnp.zeros(shape, jnp.float32)
+        else:
+            self.kernel = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
+            self.counts = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
+            if sharding is not None:
+                self.kernel = jax.device_put(self.kernel, sharding)
+                self.counts = jax.device_put(self.counts, sharding)
 
     def update(self, dosage, mean, inv_std):
-        self.kernel, self.counts = grm_update(
-            self.kernel, self.counts, jnp.asarray(dosage),
-            jnp.asarray(mean), jnp.asarray(inv_std),
-            compute_dtype=self.compute_dtype, accum_dtype=self.accum_dtype,
-        )
+        if self.triangle:
+            dosage = jnp.asarray(dosage)
+            if jnp.issubdtype(dosage.dtype, jnp.integer):
+                # hard calls: single fused standardize+dual-syrk pass
+                from dissect_tpu.linalg.pallas_syrk import (
+                    grm_fused_triangle_update,
+                )
+
+                self.kernel, self.counts = grm_fused_triangle_update(
+                    dosage, jnp.asarray(mean), jnp.asarray(inv_std),
+                    self.kernel, self.counts,
+                    block_n=self.block_n, block_m=self.block_m,
+                    interpret=self.interpret,
+                    compute_dtype=self.compute_dtype,
+                )
+            else:  # imputed dosages (float/NaN): two-pass packed path
+                self.kernel, self.counts = grm_update_packed(
+                    self.kernel, self.counts, dosage,
+                    jnp.asarray(mean), jnp.asarray(inv_std),
+                    compute_dtype=self.compute_dtype,
+                    block_n=self.block_n, block_m=self.block_m,
+                    interpret=self.interpret,
+                )
+        else:
+            self.kernel, self.counts = grm_update(
+                self.kernel, self.counts, jnp.asarray(dosage),
+                jnp.asarray(mean), jnp.asarray(inv_std),
+                compute_dtype=self.compute_dtype, accum_dtype=self.accum_dtype,
+            )
         return self
 
     def finalize(self):
+        if self.triangle:
+            from dissect_tpu.linalg.pallas_syrk import unpack_triangle
+
+            return (
+                unpack_triangle(self.kernel, self.n, self.block_n).astype(self.dtype),
+                unpack_triangle(self.counts, self.n, self.block_n).astype(self.dtype),
+            )
         return self.kernel, self.counts

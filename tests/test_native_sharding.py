@@ -125,3 +125,31 @@ class TestPallasSyrk:
             jnp.asarray(z), block_n=32, block_m=32, interpret=True
         )
         np.testing.assert_allclose(np.asarray(out), z.T @ z, rtol=2e-5, atol=1e-4)
+
+    def test_packed_accumulator(self, rng):
+        """Streaming GRM with packed-triangle accumulation matches the
+        dense XLA accumulator (unpacked once at finalize)."""
+        import jax.numpy as jnp
+
+        from dissect_tpu.linalg.syrk import grm_accumulator
+        from tests.conftest import make_dosage
+
+        n, m, chunk = 72, 96, 32
+        d = make_dosage(rng, m, n, missing_rate=0.05)
+        p2 = np.clip(np.where(d >= 0, d, 0).sum(1) / (2.0 * (d >= 0).sum(1)), 0.05, 0.95)
+        mean = 2.0 * p2
+        inv_std = 1.0 / np.sqrt(2.0 * p2 * (1.0 - p2))
+
+        acc_ref = grm_accumulator(n, dtype=jnp.float32)
+        acc_tri = grm_accumulator(
+            n, dtype=jnp.float32, triangle=True, block_n=16, block_m=16,
+            interpret=True,
+        )
+        for s in range(0, m, chunk):
+            sl = slice(s, s + chunk)
+            acc_ref.update(d[sl], mean[sl], inv_std[sl])
+            acc_tri.update(d[sl], mean[sl], inv_std[sl])
+        k_ref, c_ref = acc_ref.finalize()
+        k_tri, c_tri = acc_tri.finalize()
+        np.testing.assert_allclose(np.asarray(k_tri), np.asarray(k_ref), rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c_tri), np.asarray(c_ref), rtol=2e-5, atol=1e-4)
