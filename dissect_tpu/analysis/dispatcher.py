@@ -174,17 +174,29 @@ class Analysis:
             raise ValueError("no GRM input (--grm / --bfile / --bgen)")
         if a.grm_epi:
             kern = kern.epistatic()
+        n_before = kern.n
         kern = kern.sanitize(self.args.min_overlap_snps)
+        if kern.n < a.min_prop_grm_inds_kept * n_before:
+            # kernel.cpp:2019: reject a GRM losing too many individuals
+            raise ValueError(
+                f"GRM sanitization kept only {kern.n}/{n_before} individuals "
+                f"(< {a.min_prop_grm_inds_kept:.0%}; --min-prop-grm-inds-kept)"
+            )
         if a.grm_cutoff is not None:
             kern = kern.prune(a.grm_cutoff)
         return kern
 
     def load_phenotypes(self, columns: Optional[List[int]] = None):
         a = self.args
+        if a.phenos:
+            # one file per trait (--phenos, options.cpp:443-446)
+            return [read_phenotype(f, a.pheno_col) for f in a.phenos]
         if not a.pheno:
-            raise ValueError("no phenotype file (--pheno)")
+            raise ValueError("no phenotype file (--pheno / --phenos)")
         if columns is None:
-            if a.pheno_cols:
+            if a.all_phenos:
+                columns = list(range(1, n_phenotype_columns(a.pheno) + 1))
+            elif a.pheno_cols:
                 columns = [int(c) for c in a.pheno_cols.split(",")]
             else:
                 columns = [a.pheno_col]
@@ -211,6 +223,16 @@ class Analysis:
                 diag.individual_keys,
                 diag.snp_names,
             )
+            if self.args.store_both:
+                # --store-both: also keep the undecomposed GRM
+                # (options.cpp:511-515)
+                grm_io.write_grm(
+                    self.args.out + ".nondiagonal",
+                    np.asarray(kern.matrix, dtype=np.float64),
+                    np.asarray(kern.counts, dtype=np.float64),
+                    kern.individual_keys,
+                    kern.snp_names,
+                )
         else:
             grm_io.write_grm(
                 self.args.out,
@@ -302,31 +324,90 @@ class Analysis:
         return kernels
 
     def make_reml(self):
-        """--reml (analysis.cpp:137-157, singlereml.cpp:56-228)."""
-        from dissect_tpu.runtime.checkpoint import read_initial_variances
-
+        """--reml (analysis.cpp:137-157, singlereml.cpp:56-228); with
+        --all-phenos / multiple --pheno-cols the fit loops over
+        phenotype columns (the singlereml.cpp:84-102 file x column
+        loop), writing one output set per column."""
         a = self.args
         if (a.region_size or a.groups) and (a.bfile or a.bfile_list):
             return self.make_regional_reml()
+        phenos = self.load_phenotypes()
+        if len(phenos) == 1:
+            return self._reml_one(phenos[0])
+        base, outs = a.out, []
+        for i, pheno in enumerate(phenos, start=1):
+            a.out = f"{base}.{i}"
+            try:
+                outs.append(self._reml_one(pheno))
+            finally:
+                a.out = base
+        return outs
+
+    def _reml_one(self, pheno):
+        from dissect_tpu.runtime.checkpoint import read_initial_variances
+
+        a = self.args
         kern = self.load_grm()
-        pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
         kernels = [kern] + self.extra_kernels(kern)
-        driver = SingleREML(kernels, pheno, covar, self.options.reml_options())
+        env_weights = None
+        if a.weights:
+            # per-individual residual weights E = diag(w) (--weights /
+            # --weights-col, options.cpp:770-778, reml.cpp:334-446)
+            env_weights = read_phenotype(a.weights, a.weights_col)
+        driver = SingleREML(
+            kernels, pheno, covar, self.options.reml_options(),
+            environmental_weights=env_weights,
+            scale_weights=not a.no_scale_weights,
+        )
 
         initial_variances = None
+        replicates = a.subsample_replicates
+        if a.reml_subsample and replicates == 0:
+            replicates = 10  # --reml-subsample default (options.cpp:603-606)
         if a.initial_variances:
             initial_variances = read_initial_variances(a.initial_variances)
-        elif a.subsample_replicates > 0:
+        elif replicates > 0:
             initial_variances = driver.subsample_prefit(
-                a.subsample_replicates, a.subsample_proportion, a.random_seed
+                replicates, a.subsample_proportion, a.random_seed
             )
-        out = driver.compute(
-            compute_blue=True,
-            compute_blup=a.indiv_blup,
-            initial_variances=initial_variances,
-            checkpoint_path=a.checkpoint,
+        run_reduced = (
+            len(kernels) > 1
+            and not a.skip_test_reduced_models
+            and not a.use_ml
         )
+        if run_reduced:
+            # computeREMLWithReducedModels (reml.cpp:1301-1460): refit
+            # with each named genetic sub-covariance removed and LRT
+            out, lrts = driver.compute_with_reduced_models(
+                elements_to_test=a.reduced_with_only,
+                include_blue=a.write_blue_reduced,
+                compute_blue=True,
+                compute_blup=a.indiv_blup,
+                initial_variances=initial_variances,
+                checkpoint_path=a.checkpoint,
+            )
+            from dissect_tpu.reml.reduced import write_lrt_table
+
+            write_lrt_table(a.out, lrts)
+            if a.write_blue_reduced:
+                x_names = covar.filter_individuals(
+                    out.individual_keys
+                ).column_names
+                for row in lrts:
+                    if row.get("blue") is not None:
+                        beta, se = row["blue"]
+                        write_blue(
+                            f"{a.out}.reduced_{row['removed']}",
+                            beta, se, x_names,
+                        )
+        else:
+            out = driver.compute(
+                compute_blue=True,
+                compute_blup=a.indiv_blup,
+                initial_variances=initial_variances,
+                checkpoint_path=a.checkpoint,
+            )
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
         if a.blue and out.blue is not None:
             x_names = covar.filter_individuals(out.individual_keys).column_names
@@ -427,7 +508,7 @@ class Analysis:
             use_correlations=a.use_correlations,
             environmental_covariance=not a.no_environment_cov,
         )
-        out = driver.compute()
+        out = driver.compute(initial_h2s=a.initial_h2s)
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
         with result_open(a.out + ".correlations") as fh:
             fh.write("NAME VALUE SE\n")
@@ -439,6 +520,8 @@ class Analysis:
     def make_gwas(self):
         """--gwas (gwas.cpp:126-312): OLS without a GRM, mixed model with."""
         a = self.args
+        if a.bfile_grm_list or a.bgen_grm_list:
+            return self._gwas_genotype_grm_list()
         data = self.load_genotype()
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
@@ -504,6 +587,43 @@ class Analysis:
 
         self._write_gwas(res, data, covar, common)
         return res
+
+    def _gwas_genotype_grm_list(self):
+        """--bfile-grm-list / --bgen-grm-list (gwas.cpp:61-110): a
+        2-column 'genotype grm' table; each genotype file runs a GWAS
+        corrected by its paired GRM, files sharing a GRM grouped
+        together so the covariance loads once."""
+        a = self.args
+        list_path = a.bfile_grm_list or a.bgen_grm_list
+        is_bgen = bool(a.bgen_grm_list)
+        pairs = []
+        with open(list_path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2:
+                    pairs.append((parts[0], parts[1]))
+        if len({g for g, _ in pairs}) != len(pairs):
+            raise ValueError(
+                f"repeated genotype file in [ {list_path} ] (gwas.cpp:102)"
+            )
+        pairs.sort(key=lambda p: p[1])  # same-GRM files together
+        saved = (a.bfile, a.bgen, a.grm, a.bfile_grm_list, a.bgen_grm_list,
+                 a.out)
+        a.bfile_grm_list = a.bgen_grm_list = None
+        outs = []
+        try:
+            for geno, grm in pairs:
+                if is_bgen:
+                    a.bfile, a.bgen = None, geno
+                else:
+                    a.bfile, a.bgen = geno, None
+                a.grm = grm
+                a.out = f"{saved[5]}.{geno.replace('/', '_')}"
+                outs.append(self.make_gwas())
+        finally:
+            (a.bfile, a.bgen, a.grm, a.bfile_grm_list, a.bgen_grm_list,
+             a.out) = saved
+        return outs
 
     def _grouped_gwas(self, data, z, y, x, stats):
         """Grouped GWAS (computeGroupedGWAS, gwas.cpp:314-478): joint
@@ -725,6 +845,9 @@ class Analysis:
             z, data.snp_names, y, x,
             group_size=a.rgwas_group_size,
             significance_threshold=a.significance_threshold,
+            max_iterations=a.rgwas_maxit,
+            iteration_thresholds=a.rgwas_thresholds,
+            max_fit_ratio=a.rgwas_ratio,
         )
         with result_open(a.out + ".rgwas") as fh:
             fh.write("SNP\n")
@@ -821,6 +944,137 @@ class Analysis:
         )
         self.log.message(f"summed GRM stored at [ {a.out}.grm.* ]")
 
+    def make_group_effects(self):
+        """--effects (makeEffectsAnalysis, analysis.cpp:262-415):
+        cross-group correlations, individual covariances + PCA, and
+        distance-aware correlated-group filtering; or, with
+        --effects-pair-files, crossed correlations between two sets."""
+        from dissect_tpu.analysis.group_effects import (
+            GroupEffects,
+            crossed_correlations,
+            pca_of_labeled_matrix,
+            read_group_positions,
+        )
+
+        a = self.args
+
+        def write_pca(lm, prefix):
+            w, loadings = pca_of_labeled_matrix(lm, a.num_eval)
+            with result_open(prefix + ".pca.eigenvalues") as fh:
+                total = max(float(np.sum(np.abs(w))), 1e-300)
+                fh.write("EIGENVALUE VARIANCE_EXPLAINED\n")
+                for val in w:
+                    fh.write(f"{val:.8g} {val / total:.8g}\n")
+            loadings.save(prefix + ".pca.loadings")
+
+        if a.effects_pair_files:
+            if len(a.effects_pair_files) % 2:
+                raise ValueError("--effects-pair-files needs an even count")
+            g1 = GroupEffects.load(a.effects_pair_files[0::2])
+            g2 = GroupEffects.load(a.effects_pair_files[1::2])
+            corr = crossed_correlations(g1, g2)
+            corr.save(a.out + ".gene.crossed.correlations")
+            self.log.message(
+                f"crossed correlations stored at "
+                f"[ {a.out}.gene.crossed.correlations.* ]"
+            )
+            return corr
+        if not a.effects_files:
+            raise ValueError("--effects needs --effects-files (or "
+                             "--effects-pair-files)")
+        ge = GroupEffects.load(a.effects_files)
+        if a.keep_groups:
+            with open(a.keep_groups) as fh:
+                keep = [l.strip() for l in fh if l.strip()]
+            ge = GroupEffects(ge.effects.filter(
+                keep_cols=[c for c in ge.effects.col_labels if c in set(keep)]
+            ))
+        if a.keep:
+            with open(a.keep) as fh:
+                keep = [
+                    parts[0] + "@" + parts[1]
+                    for parts in (l.split() for l in fh)
+                    if len(parts) >= 2
+                ]
+            ge = GroupEffects(ge.effects.filter(
+                keep_rows=[r for r in ge.effects.row_labels if r in set(keep)]
+            ))
+        ge.correlations_between_groups().save(
+            a.out + ".gene.correlations.unfiltered"
+        )
+        write_pca(
+            ge.covariances_between_individuals(),
+            a.out + ".indiv.covariances.unfiltered",
+        )
+        if a.groups_positions:
+            positions = read_group_positions(a.groups_positions)
+            filt = ge.filter_correlated_groups(
+                0.1, positions, a.group_min_distance
+            )
+            tag = str(a.group_min_distance)
+            filt.correlations_between_groups().save(
+                a.out + f".gene.correlations.{tag}"
+            )
+            write_pca(
+                filt.covariances_between_groups(),
+                a.out + f".gene.covariances.{tag}",
+            )
+            write_pca(
+                filt.covariances_between_individuals(),
+                a.out + f".indiv.covariances.{tag}",
+            )
+        self.log.message(f"group-effects analyses stored at [ {a.out}.* ]")
+        return ge
+
+    def make_accuracy_by_snp(self):
+        """--accuracy-by-snp (accuracybysnp.cpp:67-303)."""
+        from dissect_tpu.analysis.accuracy import compute_accuracy_by_snp
+
+        a = self.args
+        data = self.load_genotype()
+        effects = read_snp_effects(a.snp_effects)
+        pheno = self.load_phenotypes()[0]
+        common = intersection_keeping_order(data.individual_keys, pheno.keys)
+        data = data.filter(keep_individuals=common)
+        pm = pheno.as_dict()
+        y = np.array([pm[k] for k in common])
+        res = compute_accuracy_by_snp(data, effects, y)
+        stats = data.filter(keep_snps=res.snp_names).stats()
+        res.write(a.out, stats)
+        self.log.message(
+            f"accuracies stored at [ {a.out}.snps.accuracies ] "
+            f"(total {res.total_accuracy:.4g}, filtered "
+            f"{res.filtered_accuracy:.4g} with {len(res.filtered_snps)} SNPs)"
+        )
+        return res
+
+    def make_cov_predict(self):
+        """--cov-predict (makePredictCovarPhenotype,
+        analysis.cpp:436-456): per-individual covariate contribution
+        from stored effects, written as .covars.predicted.phenos."""
+        from dissect_tpu.io.covariate import load_effect_prediction
+
+        a = self.args
+        if not (a.covar or a.qcovar):
+            raise ValueError("--cov-predict needs --covar and/or --qcovar")
+        values = load_effect_prediction(
+            a.covar,
+            a.qcovar,
+            a.covar_effects,
+            a.qcovar_effects,
+            force_unestimated=a.force_use_unestimated_values,
+        )
+        with result_open(a.out + ".covars.predicted.phenos") as fh:
+            fh.write("FID IID CPHENO\n")
+            for key, value in values.items():
+                fid, iid = key.split("@", 1)
+                fh.write(f"{fid} {iid} {value:.8g}\n")
+        self.log.message(
+            f"covariate predictions stored at "
+            f"[ {a.out}.covars.predicted.phenos ] ({len(values)} individuals)"
+        )
+        return values
+
     def make_snp_stats(self):
         """--snp-stats."""
         a = self.args
@@ -855,7 +1109,13 @@ class Analysis:
             "GLMM": self.make_glmm,
             "filterMatrix": self.make_filter_matrix,
             "addGRMs": self.make_add_grms,
+            "groupEffects": self.make_group_effects,
+            "accuracyBySNP": self.make_accuracy_by_snp,
+            "predictCovarPhenotype": self.make_cov_predict,
         }
+        if self.args.check:
+            self.log.message("Option check finished (--check): no analysis run.")
+            return None
         if self.options.analysis is None:
             raise ValueError("no analysis specified (e.g. --make-grm, --reml, --gwas)")
         fn = dispatch.get(self.options.analysis)

@@ -81,6 +81,13 @@ class GroupEffects:
         cov = centered @ centered.T / max(v.shape[1] - 1, 1)
         return LabeledMatrix(self.effects.row_labels, self.effects.row_labels, cov)
 
+    def covariances_between_groups(self) -> LabeledMatrix:
+        """Group x group covariance (computeCovariances(column))."""
+        v = self.effects.values
+        centered = v - v.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / max(v.shape[0] - 1, 1)
+        return LabeledMatrix(self.effects.col_labels, self.effects.col_labels, cov)
+
     def filter_correlated_groups(
         self,
         threshold: float,
@@ -120,6 +127,27 @@ def read_group_positions(path: str) -> Dict[str, GroupPosition]:
                     parts[0], parts[1], float(parts[2]), float(parts[3])
                 )
     return out
+
+
+def crossed_correlations(
+    g1: "GroupEffects", g2: "GroupEffects"
+) -> LabeledMatrix:
+    """Group x group correlations ACROSS two effect sets on shared
+    individuals (the --effects-pair-files branch,
+    analysis.cpp:388-415): column-standardize both matrices and form
+    E1s^T E2s / n."""
+    common = [k for k in g1.effects.row_labels if k in set(g2.effects.row_labels)]
+    e1 = g1.effects.filter(keep_rows=common)
+    e2 = g2.effects.filter(keep_rows=common)
+
+    def _std(v):
+        c = v - v.mean(axis=0, keepdims=True)
+        s = c.std(axis=0)
+        s[s == 0] = 1.0
+        return c / s
+
+    corr = _std(e1.values).T @ _std(e2.values) / len(common)
+    return LabeledMatrix(e1.col_labels, e2.col_labels, corr)
 
 
 def pca_of_labeled_matrix(

@@ -198,15 +198,30 @@ def recursive_gwas(
     group_size: int = 100,
     significance_threshold: float = 5e-8,
     max_iterations: int = 20,
+    iteration_thresholds: Optional[Sequence[float]] = None,
+    max_fit_ratio: Optional[float] = None,
 ) -> Tuple[List[str], Dict[str, GroupResult]]:
     """Iterative grouped fit -> keep significant -> regroup
     (computeRecursiveGWAS, gwas.cpp:239-284).  Returns the fixed-point
-    significant SNP set and the final group results."""
+    significant SNP set and the final group results.
+
+    iteration_thresholds: per-iteration keep thresholds (the last one
+    repeats; --rgwas-thresholds, options.cpp:803-806); the final
+    `significance_threshold` applies on the last pass.  max_fit_ratio
+    caps the kept SNPs at ratio*n_individuals by p-value rank
+    (relationFitSNPsIndividuals, --rgwas-ratio, options.cpp:799-802)."""
     current = list(snp_names)
     name_to_idx = {nm: i for i, nm in enumerate(snp_names)}
     g_all = np.asarray(genotypes, dtype=np.float64)
+    n_individuals = g_all.shape[1]
     last_results: Dict[str, GroupResult] = {}
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if iteration_thresholds:
+            threshold = iteration_thresholds[
+                min(it, len(iteration_thresholds) - 1)
+            ]
+        else:
+            threshold = significance_threshold
         grouping: "OrderedDict[str, List[str]]" = OrderedDict()
         for gi, start in enumerate(range(0, len(current), group_size), 1):
             grouping[f"g{gi}"] = current[start : start + group_size]
@@ -216,14 +231,27 @@ def recursive_gwas(
             significance_threshold=significance_threshold,
         )
         last_results = results
-        significant: List[str] = []
+        kept: List[Tuple[float, str]] = []
         for res in results.values():
             c = len(res.beta) - len(res.snp_names)
             for j, snp in enumerate(res.snp_names):
-                if res.p[c + j] < significance_threshold:
-                    significant.append(snp)
-        significant = [s for s in snp_names if s in set(significant)]
+                if res.p[c + j] < threshold:
+                    kept.append((res.p[c + j], snp))
+        if max_fit_ratio is not None:
+            cap = max(1, int(max_fit_ratio * n_individuals))
+            kept = sorted(kept)[:cap]
+        kept_set = {snp for _, snp in kept}
+        significant = [s for s in snp_names if s in kept_set]
         if significant == current or not significant:
-            return significant, last_results
+            break
         current = significant
-    return current, last_results
+    # the final significance filter (reference reports SNPs passing the
+    # genome-wide threshold from the last joint fit)
+    final: List[str] = []
+    for res in last_results.values():
+        c = len(res.beta) - len(res.snp_names)
+        for j, snp in enumerate(res.snp_names):
+            if res.p[c + j] < significance_threshold:
+                final.append(snp)
+    final_set = set(final)
+    return [s for s in snp_names if s in final_set], last_results

@@ -44,6 +44,7 @@ def build_variance_model(
     environmental_covariance: bool = True,
     parameter_kernels: Optional[Dict[str, float]] = None,
     parameter_unfix_after: int = 8,
+    environmental_weights: Optional[np.ndarray] = None,
 ) -> CovarianceModel:
     """Assemble the CovarianceModel for k kernels x T traits.
 
@@ -71,7 +72,18 @@ def build_variance_model(
 
     for name, mat in zip(kernel_names, kernel_matrices):
         model.insert_matrix(name, mat)
-    identity = np.ones(n) if diagonal else np.eye(n)
+    if environmental_weights is not None:
+        # per-individual residual weights: E = diag(w) (--weights,
+        # reml.cpp:334-446).  Incompatible with the eigenrotated
+        # diagonal fast path (diag(w) is not diagonal in the eigenbasis)
+        if diagonal:
+            raise ValueError(
+                "environmental weights cannot be combined with a "
+                "diagonalized kernel"
+            )
+        identity = np.diag(np.asarray(environmental_weights, dtype=np.float64))
+    else:
+        identity = np.ones(n) if diagonal else np.eye(n)
     model.insert_matrix("E", identity)
 
     # variance groups (reml.cpp:737-745)

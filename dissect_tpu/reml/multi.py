@@ -143,11 +143,21 @@ class MultiREML:
         initial_theta: Optional[np.ndarray] = None,
         compute_blue: bool = True,
         weights: Optional[Sequence[float]] = None,
+        initial_h2s: Optional[Sequence[float]] = None,
     ) -> MultiREMLOutput:
         pheno_vars = [
             initial_residual_variance(y, x) for y, x in zip(self.ys, self.xs)
         ]
-        h2s = [self.options.initial_h2] * self.n_traits
+        if initial_h2s is not None:
+            # per-trait initial h2 (--initial-h2s, options.cpp:617-620)
+            if len(initial_h2s) != self.n_traits:
+                raise ValueError(
+                    f"--initial-h2s needs {self.n_traits} values, got "
+                    f"{len(initial_h2s)}"
+                )
+            h2s = list(initial_h2s)
+        else:
+            h2s = [self.options.initial_h2] * self.n_traits
         names = [k.name for k in self.kernels]
         if self.uniform:
             mats = [np.asarray(k.dense(), dtype=np.float64) for k in self.kernels]

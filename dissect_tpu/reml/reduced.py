@@ -24,8 +24,13 @@ def reduced_model_lrts(
     options: REMLOptions,
     full_result: REMLResult,
     elements_to_test: Sequence[str],
+    include_blue: bool = False,
 ) -> List[dict]:
-    """Refit with each named sub-covariance removed; LRT vs the full fit."""
+    """Refit with each named sub-covariance removed; LRT vs the full fit.
+
+    include_blue additionally reports each reduced model's fixed-effect
+    estimates (writeBLUEInReducedModels / --write-blue-reduced,
+    options.cpp:725-729)."""
     reduced_opts = dataclasses.replace(options, first_step_em=False)
     full_theta = dict(zip(full_result.variance_names, full_result.variances))
     lrts: List[dict] = []
@@ -42,6 +47,7 @@ def reduced_model_lrts(
         engine = REMLEngine(reduced, y, x, reduced_opts)
         res = engine.fit(init)
         if res.success:
+            blue = engine.compute_blue() if include_blue else None
             df = model.n_variances - reduced.n_variances
             lrt = max(2.0 * (full_result.log_likelihood - res.log_likelihood), 0.0)
             lrts.append(
@@ -52,6 +58,7 @@ def reduced_model_lrts(
                     "df": df,
                     "p_value": 0.5 * float(chi2.sf(lrt, df)),
                     "converged": True,
+                    "blue": blue,
                 }
             )
         else:

@@ -68,6 +68,8 @@ class SingleREML:
         phenotype: Phenotype,
         covariate: Optional[Covariate] = None,
         options: Optional[REMLOptions] = None,
+        environmental_weights: Optional[Phenotype] = None,
+        scale_weights: bool = True,
     ):
         self.options = options or REMLOptions()
         if covariate is None:
@@ -76,6 +78,11 @@ class SingleREML:
         common = intersection_keeping_order(
             kernels[0].individual_keys, phenotype.keys, covariate.keys
         )
+        if environmental_weights is not None:
+            # --weights joins the intersection (reml.cpp:354-357)
+            common = intersection_keeping_order(
+                common, environmental_weights.keys
+            )
         for kern in kernels[1:]:
             common = intersection_keeping_order(common, kern.individual_keys)
         if len(common) == 0:
@@ -86,6 +93,15 @@ class SingleREML:
         pheno_map = phenotype.as_dict()
         self.y = np.array([pheno_map[k] for k in common], dtype=np.float64)
         self.x = covariate.filter_individuals(common).matrix
+        self.environmental_weights = None
+        if environmental_weights is not None:
+            wmap = environmental_weights.as_dict()
+            w = np.array([wmap[k] for k in common], dtype=np.float64)
+            if scale_weights:
+                # scale to mean 1 (scaleEnvironmentalWeightTrace,
+                # reml.cpp:420-432; disabled by --no-scale-weights)
+                w = w * (len(w) / w.sum())
+            self.environmental_weights = w
 
         # diagonalized single-kernel fast path (reml.cpp:449-557):
         # rotate y and X into the eigenbasis, V becomes diagonal.
@@ -140,6 +156,7 @@ class SingleREML:
             diagonal=self.diagonal,
             parameter_kernels=parameter_kernels,
             parameter_unfix_after=self.options.parameter_unfix_after,
+            environmental_weights=self.environmental_weights,
         )
         if initial_variances is not None:
             # --initial-variances / subsample seeding by name
@@ -243,6 +260,7 @@ class SingleREML:
     def compute_with_reduced_models(
         self,
         elements_to_test: Optional[Sequence[str]] = None,
+        include_blue: bool = False,
         **kwargs,
     ):
         """Full fit, then refit with each named sub-covariance removed and
@@ -260,6 +278,7 @@ class SingleREML:
         if elements_to_test is None:
             elements_to_test = [k.name for k in self.kernels]
         lrts = reduced_model_lrts(
-            self.model, self.y, self.x, self.options, full.result, elements_to_test
+            self.model, self.y, self.x, self.options, full.result,
+            elements_to_test, include_blue=include_blue,
         )
         return full, lrts

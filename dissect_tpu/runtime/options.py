@@ -56,6 +56,12 @@ ANALYSES = [
     ("--accuracy-by-snp", "accuracyBySNP", "prediction accuracy vs SNP removal"),
     ("--filter-matrix", "filterMatrix", "filter a labeled matrix by row/col label files"),
     ("--add-grms", "addGRMs", "sum the GRMs in --grm-list into one"),
+    ("--cov-predict", "predictCovarPhenotype",
+     "predict the covariate contribution to phenotypes from stored "
+     "covariate effects (analysis.cpp:436-456)"),
+    ("--make-grm-mr", "makeGRM",
+     "compute the GRM (the reference's MPI-read IO variant; identical "
+     "result here)"),
 ]
 
 
@@ -76,10 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--grm", help="GRM prefix (.grm.dat/ids/snps)")
     d.add_argument("--grm-list", help="file listing GRM prefixes")
     d.add_argument("--pheno", help="phenotype file (FID IID pheno...)")
+    d.add_argument("--phenos", nargs="+",
+                   help="per-trait phenotype files (options.cpp:443-446)")
     d.add_argument("--pheno-col", type=_ranged(int, 1), default=1,
                    help="phenotype column (1-based)")
     d.add_argument("--pheno-cols", help="comma-separated phenotype columns "
                    "(bivar/multi/mp analyses)")
+    d.add_argument("--all-phenos", action="store_true",
+                   help="analyze every phenotype column in turn "
+                   "(options.cpp:1081-1084)")
     d.add_argument("--covar", help="discrete covariates file")
     d.add_argument("--qcovar", help="quantitative covariates file")
     d.add_argument("--covars", help="per-trait discrete covariate files, comma-separated")
@@ -100,6 +111,29 @@ def build_parser() -> argparse.ArgumentParser:
     grm.add_argument("--keep-zerostd-snps", action="store_true",
                       help="silently drop monomorphic SNPs instead of erroring")
     grm.add_argument("--gcta-grms-gz", help="GCTA .grm.id/.grm.gz prefix")
+    grm.add_argument("--grm-join-method", type=_ranged(int, 0, 1), default=0,
+                     help="GRM addition method for --add-grms "
+                     "(options.cpp:497-500)")
+    grm.add_argument("--min-prop-grm-inds-kept", type=_ranged(float, 0.0, 1.0),
+                     default=0.9,
+                     help="reject a GRM when sanitization keeps less than "
+                     "this proportion of individuals (options.cpp:544-547, "
+                     "kernel.cpp:2019; default options.cpp:81)")
+    grm.add_argument("--store-both", action="store_true",
+                     help="with --diagonalize, also write the undecomposed "
+                     "GRM (options.cpp:511-515)")
+    grm.add_argument("--bfile-grm-list", help="file listing PLINK prefixes, "
+                     "one GRM kernel computed per entry (options.cpp:818-821)")
+    grm.add_argument("--bgen-grm-list", help="file listing BGEN files, one "
+                     "GRM kernel computed per entry (options.cpp:822-826)")
+    grm.add_argument("--cutoff-thrs", nargs="+", type=float, default=None,
+                     help="report relatedness-prune survivor counts at these "
+                     "thresholds (options.cpp:529-532)")
+    grm.add_argument("--grm-no-mpi-write", action="store_true",
+                     help="accepted for compatibility; IO is host-driven here")
+    grm.add_argument("--bgen-l1", action="store_true",
+                     help="accepted for compatibility; the BGEN layout is "
+                     "auto-detected from the header")
 
     reml = p.add_argument_group("reml")
     reml.add_argument("--reml-maxit", type=int, default=40)
@@ -112,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--no-first-em", action="store_true")
     reml.add_argument("--reml-qstep-scale", type=_ranged(float, 0.0, 1.0), default=0.3)
     reml.add_argument("--initial-h2", type=_ranged(float, 0.0, 1.0), default=0.5)
+    reml.add_argument("--initial-h2s", nargs="+",
+                      type=_ranged(float, 0.0, 1.0), default=None,
+                      help="per-trait initial h2 values (options.cpp:617-620; "
+                      "incompatible with --initial-h2)")
     reml.add_argument("--use-log-logistic", action="store_true")
     reml.add_argument("--use-correlations", action="store_true")
     reml.add_argument("--use-ml", action="store_true")
@@ -123,7 +161,37 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--indiv-blup", action="store_true", help="write individual BLUPs")
     reml.add_argument("--snp-blup", action="store_true", help="write per-SNP BLUP effects")
     reml.add_argument("--reml-method-em", action="store_true")
+    reml.add_argument("--reml-method-ai", action="store_true",
+                      help="AI-REML (the default; accepted for compatibility)")
+    reml.add_argument("--reml-subsample", action="store_true",
+                      help="seed initial variances from subsample pre-fits "
+                      "(options.cpp:603-606; see --subsample-replicates)")
     reml.add_argument("--weights", help="kernel weights file")
+    reml.add_argument("--weights-col", type=_ranged(int, 1), default=1,
+                      help="column of --weights to use (options.cpp:775-778)")
+    reml.add_argument("--no-scale-weights", action="store_true",
+                      help="use raw environmental weights without rescaling")
+    reml.add_argument("--indiv-blup-error", action="store_true",
+                      help="also write BLUP standard errors "
+                      "(options.cpp:561-565)")
+    reml.add_argument("--write-blue-reduced", action="store_true",
+                      help="write BLUEs for each reduced model too "
+                      "(options.cpp:725-729)")
+    reml.add_argument("--reduced-with-only", nargs="+", default=None,
+                      help="only test reduced models dropping these named "
+                      "covariances (options.cpp:792-795)")
+    reml.add_argument("--blup-bfile-list", help="file listing PLINK prefixes "
+                      "providing genotypes for --snp-blup "
+                      "(options.cpp:736-740)")
+    reml.add_argument("--blup-no-filter-snps", action="store_true",
+                      help="keep BLUP SNPs that do not overlap the GRM SNP "
+                      "set (options.cpp:742-746)")
+    reml.add_argument("--force-use-diag-kernels", action="store_true",
+                      help="require diagonalized kernels (errors when a "
+                      "kernel cannot be diagonalized)")
+    reml.add_argument("--epistasis-var", action="store_true",
+                      help="add an epistatic (K.*K) variance component "
+                      "alongside the GRM")
     reml.add_argument("--random-effects", help="FID IID category file adding a "
                       "discrete random-effect kernel (--random-effects)")
     reml.add_argument("--random-effects-cols", type=int, default=1)
@@ -170,6 +238,16 @@ def build_parser() -> argparse.ArgumentParser:
                       help="region overlap in kb (options.cpp:987-992)")
     gwas.add_argument("--min-snps-region", type=int, default=1)
     gwas.add_argument("--rgwas-group-size", type=int, default=100)
+    gwas.add_argument("--rgwas-maxit", type=_ranged(int, 1), default=10,
+                      help="recursive-GWAS iteration cap (options.cpp:807-810)")
+    gwas.add_argument("--rgwas-thresholds", nargs="+",
+                      type=_ranged(float, 0.0, 1.0), default=None,
+                      help="per-iteration significance thresholds for keeping "
+                      "SNPs (options.cpp:803-806)")
+    gwas.add_argument("--rgwas-ratio", type=_ranged(float, 1e-7, 0.1),
+                      default=None,
+                      help="maximum fitted-SNPs/individuals ratio per "
+                      "recursive iteration (options.cpp:799-802)")
     gwas.add_argument("--parallel-gwas", action="store_true",
                       help="accepted for compatibility; per-SNP tests are "
                       "always batched on the accelerator")
@@ -184,6 +262,52 @@ def build_parser() -> argparse.ArgumentParser:
                       help="fast path: fix variances at the null model fit "
                       "(EMMAX-style) instead of per-SNP ML refits")
     gwas.add_argument("--significance-threshold", type=float, default=5e-8)
+    gwas.add_argument("--group-var", action="store_true",
+                      help="estimate per-group effect variances "
+                      "(options.cpp:853-857)")
+    gwas.add_argument("--correct-ld", action="store_true",
+                      help="LD-correct grouped effect estimates")
+    gwas.add_argument("--all-together", action="store_true",
+                      help="fit all regions jointly instead of one model per "
+                      "region (options.cpp:1014-1017)")
+    gwas.add_argument("--redist-meth2", action="store_true",
+                      help="accepted for compatibility; SNP distribution is "
+                      "batch-driven here (options.h:192)")
+    gwas.add_argument("--mostr-lower-thr", type=float, default=None,
+                      help="accepted for compatibility (experimental "
+                      "multi-SNP ordering thresholds)")
+    gwas.add_argument("--mostr-upper-thr", type=float, default=None,
+                      help="accepted for compatibility (experimental "
+                      "multi-SNP ordering thresholds)")
+
+    eff = p.add_argument_group("group effects")
+    eff.add_argument("--effects-files", nargs="+",
+                     help="per-chromosome group-effect LabeledMatrix "
+                     "prefixes (options.cpp:1048-1050)")
+    eff.add_argument("--effects-pair-files", nargs="+",
+                     help="pairs of effect prefixes for crossed correlations "
+                     "(options.cpp:1062+; even count)")
+    eff.add_argument("--groups-positions", help="GROUP CHR MINPOS MAXPOS "
+                     "table for distance-aware filtering "
+                     "(options.cpp:1044-1047)")
+    eff.add_argument("--keep-groups", help="file of group labels to keep "
+                     "(options.cpp:1040-1043)")
+    eff.add_argument("--group-min-distance", type=_ranged(int, 0),
+                     default=500000,
+                     help="discard one of each correlated group pair closer "
+                     "than this (options.cpp:1058-1061; default "
+                     "groupDistanceForDiscarding options.cpp:234)")
+
+    pred = p.add_argument_group("covariate prediction")
+    pred.add_argument("--covar-effects", help="discrete covariate effects "
+                      "file, e.g. a .blue.discrete output "
+                      "(options.cpp:960-963)")
+    pred.add_argument("--qcovar-effects", help="quantitative covariate "
+                      "effects file (options.cpp:965-968)")
+    pred.add_argument("--force-use-unestimated-values", action="store_true",
+                      help="keep individuals whose covariate categories have "
+                      "no stored effect (contribute 0) instead of dropping "
+                      "them (options.cpp:969+)")
 
     pca = p.add_argument_group("pca")
     pca.add_argument("--num-eval", type=_ranged(int, 1), default=20)
@@ -207,6 +331,25 @@ def build_parser() -> argparse.ArgumentParser:
     misc.add_argument("--zout", action="store_true", help="gzip result files")
     misc.add_argument("--default-block-size", type=int, default=None,
                       help="accepted for compatibility; sharding is mesh-driven")
+    misc.add_argument("--check", action="store_true",
+                      help="parse and echo options, run no analysis")
+    misc.add_argument("--debug", action="store_true",
+                      help="accepted for compatibility (reference debug mode)")
+    misc.add_argument("--debug-vars", action="store_true",
+                      help="accepted for compatibility")
+    misc.add_argument("--mpi-debug", action="store_true",
+                      help="accepted for compatibility; no MPI here "
+                      "(communicator.cpp:630-641)")
+    misc.add_argument("--debug-default-block-size", type=int, default=None,
+                      help="accepted for compatibility")
+
+    mp = p.add_argument_group("multi-phenotype")
+    mp.add_argument("--bfile-residuals-list", help="file pairing PLINK "
+                    "prefixes with residual matrices for chunked mpgwas")
+    mp.add_argument("--bgen-residuals-list", help="file pairing BGEN files "
+                    "with residual matrices for chunked mpgwas")
+    mp.add_argument("--adjust-bfile-list", help="file listing PLINK prefixes "
+                    "whose SNPs adjust the residuals before mpgwas")
     return p
 
 
@@ -221,13 +364,26 @@ class Options:
     def parse(argv: Optional[List[str]] = None) -> "Options":
         parser = build_parser()
         args = parser.parse_args(argv)
+        argv_list = list(argv) if argv is not None else sys.argv[1:]
+        if "--initial-h2" in argv_list and "--initial-h2s" in argv_list:
+            raise OptionsError(
+                "--initial-h2 and --initial-h2s cannot be used at the same "
+                "time (options.cpp:1237-1240)"
+            )
+        if args.pheno and args.phenos:
+            raise OptionsError(
+                "--pheno and --phenos cannot be used at the same time "
+                "(options.cpp:1245-1248)"
+            )
         if (args.region_size or args.region_overlap) and args.groups:
             raise OptionsError(
                 "only one type of regional analysis is allowed: "
                 "--region-size/--region-overlap or --groups "
                 "(options.cpp:1582-1585)"
             )
-        selected = [dest for _, dest, _ in ANALYSES if getattr(args, dest)]
+        selected = list(
+            dict.fromkeys(dest for _, dest, _ in ANALYSES if getattr(args, dest))
+        )
         if len(selected) > 1:
             raise OptionsError(
                 f"incompatible analyses selected together: {selected} "
