@@ -350,6 +350,11 @@ class Analysis:
         kern = self.load_grm()
         covar = self.load_covariate(pheno.keys)
         kernels = [kern] + self.extra_kernels(kern)
+        if a.epistasis_var:
+            # epistatic K.*K as an ADDITIONAL variance component
+            # (--epistasis-var, singlereml.cpp:72-90); --grm-epi instead
+            # REPLACES the GRM with its epistatic form
+            kernels.append(kern.epistatic())
         env_weights = None
         if a.weights:
             # per-individual residual weights E = diag(w) (--weights /
@@ -384,6 +389,7 @@ class Analysis:
                 include_blue=a.write_blue_reduced,
                 compute_blue=True,
                 compute_blup=a.indiv_blup,
+                compute_blup_errors=a.indiv_blup_error,
                 initial_variances=initial_variances,
                 checkpoint_path=a.checkpoint,
             )
@@ -405,6 +411,7 @@ class Analysis:
             out = driver.compute(
                 compute_blue=True,
                 compute_blup=a.indiv_blup,
+                compute_blup_errors=a.indiv_blup_error,
                 initial_variances=initial_variances,
                 checkpoint_path=a.checkpoint,
             )
@@ -414,21 +421,36 @@ class Analysis:
             write_blue(a.out, out.blue, out.blue_se, x_names)
         if a.indiv_blup and out.blup:
             for name, blup in out.blup.items():
-                write_blup_indiv(a.out, name, out.individual_keys, blup)
-        if a.snp_blup and (a.bfile or a.bfile_list):
+                errors = (out.blup_errors or {}).get(name)
+                write_blup_indiv(
+                    a.out, name, out.individual_keys, blup, errors=errors
+                )
+        if a.snp_blup and (a.bfile or a.bfile_list or a.blup_bfile_list):
             from dissect_tpu.reml.snp_blup import compute_snp_blup, write_snp_blup
 
-            data = self.load_genotype()
             q = driver.engine._final_device_state()
             py = np.asarray(q["py"], dtype=np.float64)
-            blup_result = compute_snp_blup(
-                data,
-                out.individual_keys,
-                py,
-                out.result.variance("Var(GRM)"),
-                grm_snp_names=kern.snp_names or None,
-            )
-            write_snp_blup(a.out, "GRM", blup_result)
+            if a.blup_bfile_list:
+                # SNP effects from a separate genotype list
+                # (--blup-bfile-list, options.cpp:736-740)
+                with open(a.blup_bfile_list) as fh:
+                    prefixes = [l.strip() for l in fh if l.strip()]
+                datasets = [(p, read_plink(p)) for p in prefixes]
+            else:
+                datasets = [(None, self.load_genotype())]
+            for prefix, data in datasets:
+                blup_result = compute_snp_blup(
+                    data,
+                    out.individual_keys,
+                    py,
+                    out.result.variance("Var(GRM)"),
+                    grm_snp_names=(
+                        None if a.blup_no_filter_snps
+                        else (kern.snp_names or None)
+                    ),
+                )
+                tag = "" if prefix is None else "." + prefix.replace("/", "_")
+                write_snp_blup(a.out + tag, "GRM", blup_result)
         self.log.message(f"REML results stored at [ {a.out}.reml ]")
         return out
 
@@ -755,9 +777,38 @@ class Analysis:
         return lm
 
     def make_mp_gwas(self):
-        """--mpgwas (analysis.cpp:458-469, gwasmp.cpp:96-366)."""
+        """--mpgwas (analysis.cpp:458-469, gwasmp.cpp:96-366).  With
+        --bfile-residuals-list / --bgen-residuals-list, a 2-column
+        'genotype residuals-prefix' table runs one pass per pair
+        (loadGenotypeResidualFiles, gwasmp.cpp:38-90)."""
         a = self.args
-        lm = LabeledMatrix.load(a.out + ".residuals")
+        list_path = a.bfile_residuals_list or a.bgen_residuals_list
+        if list_path:
+            is_bgen = bool(a.bgen_residuals_list)
+            pairs = []
+            with open(list_path) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        pairs.append((parts[0], parts[1]))
+            saved = (a.bfile, a.bgen, a.out)
+            outs = []
+            try:
+                for geno, res_prefix in pairs:
+                    if is_bgen:
+                        a.bfile, a.bgen = None, geno
+                    else:
+                        a.bfile, a.bgen = geno, None
+                    a.out = f"{saved[2]}.{geno.replace('/', '_')}"
+                    outs.append(self._mp_gwas_one(res_prefix))
+            finally:
+                a.bfile, a.bgen, a.out = saved
+            return outs
+        return self._mp_gwas_one(a.out + ".residuals")
+
+    def _mp_gwas_one(self, residuals_prefix: str):
+        a = self.args
+        lm = LabeledMatrix.load(residuals_prefix)
         data = self.load_genotype()
         common = intersection_keeping_order(lm.row_labels, data.individual_keys)
         lm = lm.filter(keep_rows=common)

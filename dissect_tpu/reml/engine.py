@@ -584,6 +584,31 @@ class REMLEngine:
                     )
         return np.asarray(blup)
 
+    def compute_blup_errors(self, sub_id: str):
+        """sqrt(diag(Cov_sub P Cov_sub)) — BLUP standard errors
+        (computeBLUPErrors, reml.cpp:3058-3110 via diagonalOfABAt).
+        Like the reference (reml.cpp:3250), restricted to the dense
+        single-trait path; returns None otherwise."""
+        if self.cc.diagonal or self.cc.n_traits != 1:
+            return None
+        from dissect_tpu.linalg.traces import diag_of_abat
+
+        q = self._final_device_state()
+        p = q["vi"] - q["vix"] @ q["xtvix_i"] @ q["vix"].T
+        theta = jnp.asarray(self.final_theta, dtype=self.dtype)
+        g = np.asarray(self.cc.coefficients(theta))
+        cov = jnp.zeros((self.cc.n_total, self.cc.n_total), dtype=p.dtype)
+        found = False
+        for ei, e in enumerate(self.model.elements):
+            if e.subcovariance_id != sub_id:
+                continue
+            found = True
+            cov = cov + g[ei] * self.cc.element_matrix(ei, theta)
+        if not found:
+            return None
+        d = np.asarray(diag_of_abat(cov, p))
+        return np.sqrt(np.maximum(d, 0.0))
+
     def residuals(self):
         """e = sigma2_E * Py — the 'E' sub-covariance applied to Py
         (mpresiduals.cpp:141: V->multiply("E", Py))."""

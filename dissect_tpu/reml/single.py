@@ -38,6 +38,7 @@ class SingleREMLOutput:
     blue: Optional[np.ndarray] = None
     blue_se: Optional[np.ndarray] = None
     blup: Optional[Dict[str, np.ndarray]] = None
+    blup_errors: Optional[Dict[str, np.ndarray]] = None
     residuals: Optional[np.ndarray] = None
 
 
@@ -123,6 +124,7 @@ class SingleREML:
         initial_theta: Optional[np.ndarray] = None,
         compute_blue: bool = True,
         compute_blup: bool = False,
+        compute_blup_errors: bool = False,
         compute_residuals: bool = False,
         weights: Optional[Sequence[float]] = None,
         initial_variances: Optional[dict] = None,
@@ -207,6 +209,12 @@ class SingleREML:
                 if self.eigenvectors is not None:
                     u = self.eigenvectors @ u  # back-rotation (reml.cpp:3030+)
                 out.blup[kern.name] = u
+            if compute_blup_errors and self.eigenvectors is None:
+                out.blup_errors = {}
+                for kern in self.kernels:
+                    err = engine.compute_blup_errors(kern.name)
+                    if err is not None:
+                        out.blup_errors[kern.name] = err
         if result.success and compute_residuals:
             e = engine.residuals()
             if self.eigenvectors is not None:

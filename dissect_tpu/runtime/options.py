@@ -112,8 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="silently drop monomorphic SNPs instead of erroring")
     grm.add_argument("--gcta-grms-gz", help="GCTA .grm.id/.grm.gz prefix")
     grm.add_argument("--grm-join-method", type=_ranged(int, 0, 1), default=0,
-                     help="GRM addition method for --add-grms "
-                     "(options.cpp:497-500)")
+                     help="multi-file GRM build order (auxiliar.cpp:617: "
+                     "0 = per-file GRMs then add, 1 = concat genotypes then "
+                     "one GRM); both orders give identical normalized GRMs "
+                     "here, so the flag is accepted for compatibility")
     grm.add_argument("--min-prop-grm-inds-kept", type=_ranged(float, 0.0, 1.0),
                      default=0.9,
                      help="reject a GRM when sanitization keeps less than "
@@ -127,8 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     grm.add_argument("--bgen-grm-list", help="file listing BGEN files, one "
                      "GRM kernel computed per entry (options.cpp:822-826)")
     grm.add_argument("--cutoff-thrs", nargs="+", type=float, default=None,
-                     help="report relatedness-prune survivor counts at these "
-                     "thresholds (options.cpp:529-532)")
+                     help="accepted for compatibility (options.cpp:529-532 "
+                     "parses it but no reference code consumes it)")
     grm.add_argument("--grm-no-mpi-write", action="store_true",
                      help="accepted for compatibility; IO is host-driven here")
     grm.add_argument("--bgen-l1", action="store_true",

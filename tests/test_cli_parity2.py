@@ -278,6 +278,54 @@ class TestGenotypeGrmList:
         assert len(produced) == 1
 
 
+class TestBlupExtras:
+    def test_indiv_blup_error(self, cohort):
+        out = str(cohort["tmp"] / "be")
+        run_cli([
+            "--reml", "--bfile", cohort["bfile"], "--pheno", cohort["pheno"],
+            "--indiv-blup", "--indiv-blup-error", "--out", out,
+        ])
+        lines = (cohort["tmp"] / "be.GRM.blup.indiv").read_text().splitlines()
+        assert lines[0].split() == ["FID", "IID", "BLUP", "STD"]
+        stds = np.array([float(l.split()[3]) for l in lines[1:]])
+        assert (stds > 0).all()
+
+    def test_blup_bfile_list(self, cohort, tmp_path):
+        lst = tmp_path / "blist.txt"
+        lst.write_text(cohort["bfile"] + "\n")
+        out = str(tmp_path / "bl")
+        run_cli([
+            "--reml", "--bfile", cohort["bfile"], "--pheno", cohort["pheno"],
+            "--snp-blup", "--blup-bfile-list", str(lst), "--out", out,
+        ])
+        produced = list(tmp_path.glob("bl.*GRM.blup.snps"))
+        assert len(produced) == 1
+
+    def test_epistasis_var(self, cohort):
+        out = str(cohort["tmp"] / "epi")
+        run_cli([
+            "--reml", "--bfile", cohort["bfile"], "--pheno", cohort["pheno"],
+            "--epistasis-var", "--skip-test-reduced-models", "--out", out,
+        ])
+        reml = (cohort["tmp"] / "epi.reml").read_text()
+        assert "Var(GRMxE)" in reml and "Var(GRM)" in reml
+
+
+class TestResidualsList:
+    def test_mpgwas_pairs(self, cohort, tmp_path):
+        out = str(tmp_path / "mpr")
+        run_cli([
+            "--mpresiduals", "--bfile", cohort["bfile"],
+            "--pheno", cohort["pheno"], "--pheno-cols", "1,2", "--out", out,
+        ])
+        lst = tmp_path / "rlist.txt"
+        lst.write_text(f"{cohort['bfile']} {out}.residuals\n")
+        out2 = str(tmp_path / "mpg")
+        run_cli(["--mpgwas", "--bfile-residuals-list", str(lst), "--out", out2])
+        produced = list(tmp_path.glob("mpg.*.mpgwas"))
+        assert len(produced) == 1
+
+
 class TestRgwasKnobs:
     def test_thresholds_and_maxit(self, cohort):
         out = str(cohort["tmp"] / "rg")
