@@ -282,12 +282,16 @@ class Analysis:
                 )
         if a.multirandom_effects:
             table = {}
+            ncols = a.multirandom_effects_cols
             with open(a.multirandom_effects) as fh:
                 for line_no, line in enumerate(fh):
                     parts = line.split()
                     if not parts or (line_no == 0 and parts[0].upper() == "FID"):
                         continue
-                    table[parts[0] + "@" + parts[1]] = parts[2].split(",")
+                    cats = parts[2 : 2 + ncols]
+                    if len(cats) == 1:
+                        cats = cats[0].split(",")
+                    table[parts[0] + "@" + parts[1]] = cats
             keys = [k for k in base_kernel.individual_keys if k in table]
             kernels.append(
                 kernel_from_multi_discrete("MRE1", keys, [table[k] for k in keys])

@@ -199,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     reml.add_argument("--random-effects-cols", type=int, default=1)
     reml.add_argument("--multirandom-effects", help="FID IID categories file "
                       "adding a multi-category random-effect kernel")
+    reml.add_argument("--multirandom-effects-cols", type=_ranged(int, 1),
+                      default=1, help="number of category columns in "
+                      "--multirandom-effects")
     reml.add_argument("--sqrt-exp-coord-files", help="coordinate file adding a "
                       "squared-exponential kernel")
     reml.add_argument("--gxe", action="store_true",
