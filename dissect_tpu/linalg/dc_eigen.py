@@ -222,31 +222,54 @@ def distributed_eigh(
         m = a_sub.shape[0]
         if m <= base_size or depth >= max_depth:
             return jnp.linalg.eigh(a_sub)
-        diag = jnp.diagonal(a_sub)
-        sigma = jnp.median(diag)
-        shifted = a_sub - sigma * jnp.eye(m, dtype=a_sub.dtype)
-        u = matrix_sign(shifted, mesh, axis, block, l0)
-        tr = float(jnp.trace(u))
-        k = int(round((m - tr) / 2.0))
-        if k <= 0 or k >= m:
-            # split point fell outside (clustered spectrum): try the
-            # midpoint of the diagonal range once, else solve locally
-            lo, hi = float(jnp.min(diag)), float(jnp.max(diag))
-            sigma2 = 0.5 * (lo + hi)
-            if abs(sigma2 - float(sigma)) > 1e-12 * max(abs(hi), 1.0):
-                shifted = a_sub - sigma2 * jnp.eye(m, dtype=a_sub.dtype)
-                u = matrix_sign(shifted, mesh, axis, block, l0)
-                tr = float(jnp.trace(u))
-                k = int(round((m - tr) / 2.0))
-            if k <= 0 or k >= m:
-                return jnp.linalg.eigh(a_sub)
+        # Candidate split points.  The median of the diagonal is the
+        # QDWH-eig default; clustered spectra (e.g. a low-rank GRM plus
+        # a ridge puts many eigenvalues at exactly the ridge value) can
+        # land sigma ON an eigenvalue, where sign(A - sigma I) is not an
+        # involution and the projector ranks are wrong — in float32 that
+        # cascades into NaNs.  So: try several shifts, accept the first
+        # whose sign matrix is a numerical involution with an interior
+        # rank split, and otherwise fall back to a local solve.
+        dvals = np.asarray(jax.device_get(jnp.diagonal(a_sub)), np.float64)
+        candidates = []
+        for s in (
+            float(np.median(dvals)),
+            0.5 * (float(dvals.min()) + float(dvals.max())),
+            float(np.quantile(dvals, 0.25)),
+            float(np.quantile(dvals, 0.75)),
+        ):
+            if all(abs(s - c) > 1e-12 * max(1.0, abs(s)) for c in candidates):
+                candidates.append(s)
+        eps = float(jnp.finfo(a_sub.dtype).eps)
+        inv_tol = 100.0 * math.sqrt(eps)
         eye = jnp.eye(m, dtype=a_sub.dtype)
+        split = None
+        for sigma in candidates:
+            u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
+            tr = float(jnp.trace(u))
+            if not math.isfinite(tr):
+                continue
+            k = int(round((m - tr) / 2.0))
+            if k <= 0 or k >= m:
+                continue
+            inv_err = float(jnp.linalg.norm(u @ u - eye)) / math.sqrt(m)
+            if not math.isfinite(inv_err) or inv_err > inv_tol:
+                continue
+            split = (u, k)
+            break
+        if split is None:
+            return jnp.linalg.eigh(a_sub)
+        u, k = split
         q1 = _subspace_basis(0.5 * (eye - u), k, rng)
         q2 = _subspace_basis(0.5 * (eye + u), m - k, rng)
         a1 = q1.T @ (a_sub @ q1)
         a2 = q2.T @ (a_sub @ q2)
         a1 = 0.5 * (a1 + a1.T)
         a2 = 0.5 * (a2 + a2.T)
+        if not (
+            bool(jnp.all(jnp.isfinite(a1))) and bool(jnp.all(jnp.isfinite(a2)))
+        ):
+            return jnp.linalg.eigh(a_sub)
         w1, v1 = rec(a1, depth + 1)
         w2, v2 = rec(a2, depth + 1)
         w = jnp.concatenate([w1, w2])

@@ -92,6 +92,25 @@ class TestDistributedEigh:
         w, v = distributed_eigh(a, base_size=8)
         np.testing.assert_allclose(np.asarray(w), np.ones(30), atol=1e-12)
 
+    def test_float32_rank_deficient_mesh(self, rng):
+        # Regression: a low-rank GRM + ridge (dozens of eigenvalues
+        # exactly at the ridge value) in float32 on the mesh used to
+        # NaN inside the recursion when the median split landed on the
+        # cluster.  The guarded split must stay finite and accurate.
+        n, m = 64, 32
+        z = rng.standard_normal((m, n)).astype(np.float32)
+        a = (z.T @ z / m + 0.1 * np.eye(n)).astype(np.float32)
+        a = 0.5 * (a + a.T)
+        mesh = Mesh(np.asarray(jax.devices()), ("i",))
+        w, v = distributed_eigh(jnp.asarray(a), mesh=mesh, block=8,
+                                base_size=16)
+        assert w.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(w)))
+        w_ref = np.linalg.eigvalsh(a.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(w), w_ref, atol=5e-4)
+        res = np.asarray(a @ v - v * np.asarray(w)[None, :])
+        assert np.abs(res).max() < 5e-3
+
     def test_grm_like_psd(self, rng):
         # GRM eigenstructure: few large eigenvalues + bulk near 1
         z = rng.standard_normal((200, 80))
