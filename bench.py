@@ -30,6 +30,23 @@ import time
 
 import numpy as np
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache():
+    """Point JAX at the repo-local persistent compilation cache.
+
+    Compiles through the remote TPU tunnel can take minutes; the cache
+    (pre-warmed by the build) makes re-runs hit in milliseconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 
 def _secondary_metrics(latency: float, deadline: float):
     """One dense AI-REML quantities step (n=4096) + exact ML-refit GWAS
@@ -55,13 +72,21 @@ def _secondary_metrics(latency: float, deadline: float):
     model = build_variance_model([k], ["GRM"], [1.0], [0.5])
     eng = REMLEngine(model, y, x, dtype=jnp.float32)
     float(eng._quantities(jnp.asarray([0.5, 0.5], jnp.float32))["ytpy"])
+    # dispatch is async: pipeline a batch of steps and sync once, so the
+    # per-step time is not swamped by the tunnel's per-RPC latency
+    reps = 8
     ts = []
-    for i in range(3):
-        th = jnp.asarray([0.5 + 0.01 * i, 0.5], jnp.float32)
+    for trial in range(3):
         t0 = time.perf_counter()
-        float(eng._quantities(th)["ytpy"])
+        outs = [
+            eng._quantities(
+                jnp.asarray([0.5 + 0.01 * (trial * reps + i), 0.5], jnp.float32)
+            )["ytpy"]
+            for i in range(reps)
+        ]
+        jax.block_until_ready(outs)
         ts.append(time.perf_counter() - t0)
-    reml_ms = round((min(ts) - latency) * 1e3, 2)
+    reml_ms = round(max(min(ts) - latency, 0.0) / reps * 1e3, 2)
 
     if time.time() > deadline - 120:
         return reml_ms, None
@@ -99,6 +124,7 @@ def _emit(payload):
 def main():
     import threading
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

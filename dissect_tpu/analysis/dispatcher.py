@@ -1183,6 +1183,9 @@ class Analysis:
 
 
 def main(argv=None):
+    from dissect_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     options = Options.parse(argv)
     log = get_logger()
     log.attach_file(options.args.out)

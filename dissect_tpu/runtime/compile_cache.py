@@ -1,0 +1,50 @@
+"""Persistent XLA compilation cache.
+
+The reference pays no compile cost (ahead-of-time C++); under JAX every
+jitted program is compiled on first use, and through a remote TPU
+compile service that can take minutes for large Pallas kernels.  The
+persistent cache amortizes this across processes: CLI runs, bench runs
+and the driver's compile checks all share one on-disk cache.
+
+Default location: <repo>/.jax_cache when running from a source checkout,
+else ~/.cache/dissect_tpu/jax_cache.  Override with
+DISSECT_TPU_COMPILE_CACHE=<dir>, disable with DISSECT_TPU_COMPILE_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+_ENV = "DISSECT_TPU_COMPILE_CACHE"
+
+
+def default_cache_dir() -> str:
+    env = os.environ.get(_ENV)
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(repo, ".git")) or os.path.isdir(
+        os.path.join(repo, ".jax_cache")
+    ):
+        return os.path.join(repo, ".jax_cache")
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "dissect_tpu",
+        "jax_cache",
+    )
+
+
+def enable_compile_cache() -> str | None:
+    """Point JAX at the persistent cache; returns the directory or None."""
+    if os.environ.get(_ENV) == "0":
+        return None
+    import jax
+
+    cache = default_cache_dir()
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None
+    return cache
