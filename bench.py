@@ -30,22 +30,15 @@ import time
 
 import numpy as np
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-
-
 def _enable_compile_cache():
-    """Point JAX at the repo-local persistent compilation cache.
+    """Point JAX at the shared persistent compilation cache
+    (dissect_tpu.runtime.compile_cache — honors DISSECT_TPU_COMPILE_CACHE).
 
     Compiles through the remote TPU tunnel can take minutes; the cache
     (pre-warmed by the build) makes re-runs hit in milliseconds."""
-    import jax
+    from dissect_tpu.runtime.compile_cache import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def _secondary_metrics(latency: float, deadline: float):

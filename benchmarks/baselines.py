@@ -5,10 +5,13 @@ packages — only runtime libs are present), so the "reference" column of
 BASELINE.md stays unmeasured; this script produces the framework column:
 wall-clock + throughput for each config on whatever backend JAX selects
 (the real TPU chip by default), plus internal parity cross-checks
-(TPU fp32 pipeline vs float64 CPU recomputation).
+(GRM diagonal mean ~ 1 under GCTA standardization, fitted h2 within
+sampling error of the simulation's true h2).
 
 Usage:  python benchmarks/baselines.py [--configs 1,2,3,4] [--outdir DIR]
-Emits one JSON line per config and a markdown table at the end.
+Emits one JSON line per config and a markdown table at the end.  Each
+config builds (or lazily reuses) its own cohort, so any subset/order of
+--configs works.
 """
 
 from __future__ import annotations
@@ -32,8 +35,16 @@ def make_cohort(outdir, n, m, seed, h2=0.5, n_causal=None, prefix="cohort",
 
     rng = np.random.default_rng(seed)
     p = rng.uniform(0.05, 0.5, size=m)
-    d = (rng.random((m, n)) < p[:, None]).astype(np.int8)
-    d += (rng.random((m, n)) < p[:, None]).astype(np.int8)
+    # generate dosages in SNP blocks to bound peak host memory (a full
+    # (m, n) float64 temporary would be ~4 GB at 100k x 5k)
+    d = np.empty((m, n), dtype=np.int8)
+    block = 10000
+    for s in range(0, m, block):
+        e = min(s + block, m)
+        pb = p[s:e, None]
+        db = (rng.random((e - s, n)) < pb).astype(np.int8)
+        db += (rng.random((e - s, n)) < pb).astype(np.int8)
+        d[s:e] = db
     # guarantee polymorphism cheaply
     d[:, 0] = 0
     d[:, 1] = 2
@@ -56,7 +67,7 @@ def make_cohort(outdir, n, m, seed, h2=0.5, n_causal=None, prefix="cohort",
         e = rng.normal(size=n)
         y = np.sqrt(h2) * g + np.sqrt(1 - h2) * e
         ys.append(y)
-    pheno = outdir / "pheno.txt"
+    pheno = outdir / f"{prefix}.pheno.txt"
     with open(pheno, "w") as f:
         for i in range(n):
             vals = " ".join(f"{ys[t][i]:.6f}" for t in range(n_traits))
@@ -77,18 +88,34 @@ def run_cli(args, cwd):
     return time.perf_counter() - t0
 
 
+def _ensure_c1(outdir):
+    """Build the 1k x 10k cohort + its GRM once; reused by configs 1/2."""
+    bfile = str(outdir / "cohort")
+    pheno = str(outdir / "cohort.pheno.txt")
+    if not (pathlib.Path(bfile + ".bed").exists()
+            and pathlib.Path(pheno).exists()):
+        bfile, pheno = make_cohort(outdir, 1000, 10000, seed=1)
+    t_grm = None
+    if not (outdir / "c1.grm.dat").exists():
+        t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                         str(outdir / "c1")], outdir)
+    return bfile, pheno, t_grm
+
+
 def config1(outdir):
     """GRM + PCA, 1k individuals x 10k SNPs."""
     n, m = 1000, 10000
-    bfile, _ = make_cohort(outdir, n, m, seed=1)
-    t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
-                     str(outdir / "c1")], outdir)
+    bfile, _, t_grm = _ensure_c1(outdir)
+    if t_grm is None:  # rebuilt for timing if a prior config made it
+        t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                         str(outdir / "c1")], outdir)
     t_pca = run_cli(["--pca", "--grm", str(outdir / "c1"), "--out",
                      str(outdir / "c1")], outdir)
     # parity: mean GRM diagonal must be ~1 (GCTA standardization)
     from dissect_tpu.io.grm_io import read_grm
     k = read_grm(str(outdir / "c1"))
     diag_mean = float(np.mean(np.diag(np.asarray(k["kernel"]))))
+    assert abs(diag_mean - 1.0) < 0.05, f"GRM diag mean {diag_mean} far from 1"
     return {
         "config": "GRM+PCA 1k x 10k",
         "grm_s": round(t_grm, 2),
@@ -100,12 +127,16 @@ def config1(outdir):
 
 def config2(outdir):
     """Single-trait AI-REML on the 1k-cohort GRM."""
+    _, pheno, _ = _ensure_c1(outdir)
     t = run_cli(["--reml", "--grm", str(outdir / "c1"), "--pheno",
-                 str(outdir / "pheno.txt"), "--out", str(outdir / "c2")], outdir)
+                 pheno, "--out", str(outdir / "c2")], outdir)
     h2 = None
     for line in open(outdir / "c2.reml"):
         if line.startswith("Var(GRM)/Var("):
             h2 = float(line.split()[1])
+    # parity: fitted h2 within sampling error of the simulated truth
+    # (SE ~ sqrt(2)/n * something; at n=1000 with a real GRM ~0.1)
+    assert h2 is not None and abs(h2 - 0.5) < 0.25, f"h2={h2} far from 0.5"
     return {"config": "AI-REML 1k", "reml_s": round(t, 2), "h2": h2,
             "h2_true": 0.5}
 

@@ -18,8 +18,11 @@ import os
 _ENV = "DISSECT_TPU_COMPILE_CACHE"
 
 
-def default_cache_dir() -> str:
+def default_cache_dir() -> str | None:
+    """Cache directory, or None when caching is disabled (env var = 0)."""
     env = os.environ.get(_ENV)
+    if env == "0":
+        return None
     if env:
         return env
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,11 +39,11 @@ def default_cache_dir() -> str:
 
 def enable_compile_cache() -> str | None:
     """Point JAX at the persistent cache; returns the directory or None."""
-    if os.environ.get(_ENV) == "0":
+    cache = default_cache_dir()
+    if cache is None:
         return None
     import jax
 
-    cache = default_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -87,6 +87,11 @@ class MeshContext:
         return self.sharding(P(None, ("i", "j")))
 
     @property
+    def vec(self) -> NamedSharding:
+        """1D sharding of a vector over the whole mesh."""
+        return self.sharding(P(("i", "j")))
+
+    @property
     def replicated(self) -> NamedSharding:
         return self.sharding(P())
 
@@ -97,7 +102,7 @@ class MeshContext:
 _MESH_CONTEXT: Optional[MeshContext] = None
 
 
-def set_mesh_context(ctx: Optional[MeshContext]):
+def set_mesh_context(ctx: Optional[MeshContext]) -> None:
     global _MESH_CONTEXT
     _MESH_CONTEXT = ctx
 
@@ -113,32 +118,3 @@ def get_mesh_context(create: bool = False) -> Optional[MeshContext]:
     if _MESH_CONTEXT is None and create:
         _MESH_CONTEXT = MeshContext.create()
     return _MESH_CONTEXT
-
-    @property
-    def vec(self) -> NamedSharding:
-        """1D sharding of a vector over the whole mesh."""
-        return self.sharding(P(("i", "j")))
-
-    @property
-    def n_devices(self) -> int:
-        return self.mesh.devices.size
-
-    def put(self, x, spec: P):
-        """Device-put a host array with the given PartitionSpec."""
-        return jax.device_put(x, self.sharding(spec))
-
-
-_CONTEXT: Optional[MeshContext] = None
-
-
-def get_mesh_context() -> MeshContext:
-    """The process-global mesh context (lazily built over all devices)."""
-    global _CONTEXT
-    if _CONTEXT is None:
-        _CONTEXT = MeshContext.create()
-    return _CONTEXT
-
-
-def set_mesh_context(ctx: MeshContext) -> None:
-    global _CONTEXT
-    _CONTEXT = ctx
