@@ -29,7 +29,9 @@ from dissect_tpu.pca.pca import compute_pca
 from dissect_tpu.reml.multi import MultiREML
 from dissect_tpu.reml.single import SingleREML
 from dissect_tpu.reml.summary import write_blue, write_blup_indiv, write_reml_summary
-from dissect_tpu.runtime.log import get_logger, result_open, set_zout
+from dissect_tpu.runtime.distributed import startup_runtime, use_distributed
+from dissect_tpu.runtime.distributed_io import stream_grm_sharded, to_host
+from dissect_tpu.runtime.log import get_logger, is_root, result_open, set_zout
 from dissect_tpu.runtime.options import Options
 from dissect_tpu.runtime.timers import timers
 
@@ -165,11 +167,15 @@ class Analysis:
                 )
         elif allow_compute and (a.bfile or a.bfile_list or a.bgen):
             data = self.load_genotype()
-            kern = grm_from_plink(
-                data,
-                flat_normalization=a.grm_flat_norm,
-                drop_monomorphic=a.keep_zerostd_snps,
-            )
+            ctx = use_distributed(a, data.n_individuals)
+            if ctx is not None:
+                kern = self._grm_sharded(data, ctx)
+            else:
+                kern = grm_from_plink(
+                    data,
+                    flat_normalization=a.grm_flat_norm,
+                    drop_monomorphic=a.keep_zerostd_snps,
+                )
         else:
             raise ValueError("no GRM input (--grm / --bfile / --bgen)")
         if a.grm_epi:
@@ -185,6 +191,43 @@ class Analysis:
         if a.grm_cutoff is not None:
             kern = kern.prune(a.grm_cutoff)
         return kern
+
+    def _grm_sharded(self, data: PlinkData, ctx) -> Kernel:
+        """Multi-chip GRM: the streaming sharded syrk accumulation with
+        the N x N kernel living P('i','j') on the mesh (the pdsyrk_
+        grid path, matrix.cpp:2682 / kernel.cpp:92-109)."""
+        stats = data.stats()
+        if bool(stats.monomorphic.any()):
+            if self.args.keep_zerostd_snps:
+                keep = [
+                    data.snps[i].name
+                    for i in np.nonzero(~stats.monomorphic)[0]
+                ]
+                data = data.filter(keep_snps=keep)
+            else:
+                bad = [
+                    data.snps[i].name
+                    for i in np.nonzero(stats.monomorphic)[0][:10]
+                ]
+                raise ValueError(
+                    "monomorphic SNPs present (filter them first), e.g. "
+                    + ", ".join(bad)
+                )
+        self.log.message(
+            f"GRM on a {ctx.mesh.devices.shape} device mesh "
+            f"({ctx.n_devices} devices)"
+        )
+        normalized, counts = stream_grm_sharded(
+            data, ctx, flat_normalization=self.args.grm_flat_norm
+        )
+        return Kernel(
+            name="GRM",
+            type=KernelType.GRM,
+            individual_keys=data.individual_keys,
+            matrix=normalized,
+            counts=counts,
+            snp_names=data.snp_names,
+        )
 
     def load_phenotypes(self, columns: Optional[List[int]] = None):
         a = self.args
@@ -213,31 +256,33 @@ class Analysis:
         """--make-grm (analysis.cpp:43-111)."""
         with timers.phase("ComputeGRM"):
             kern = self.load_grm()
+        ctx = use_distributed(self.args, kern.n)
         if self.args.diagonalize:
             with timers.phase("DiagonalizeGRM"):
-                diag = kern.diagonalize()
-            grm_io.write_grm_diagonalized(
-                self.args.out,
-                np.asarray(diag.eigenvalues, dtype=np.float64),
-                np.asarray(diag.eigenvectors, dtype=np.float64),
-                diag.individual_keys,
-                diag.snp_names,
-            )
-            if self.args.store_both:
+                diag = kern.diagonalize(mesh=ctx.flat if ctx else None)
+            if is_root():
+                grm_io.write_grm_diagonalized(
+                    self.args.out,
+                    to_host(diag.eigenvalues).astype(np.float64),
+                    to_host(diag.eigenvectors).astype(np.float64),
+                    diag.individual_keys,
+                    diag.snp_names,
+                )
+            if self.args.store_both and is_root():
                 # --store-both: also keep the undecomposed GRM
                 # (options.cpp:511-515)
                 grm_io.write_grm(
                     self.args.out + ".nondiagonal",
-                    np.asarray(kern.matrix, dtype=np.float64),
-                    np.asarray(kern.counts, dtype=np.float64),
+                    to_host(kern.matrix).astype(np.float64),
+                    to_host(kern.counts).astype(np.float64),
                     kern.individual_keys,
                     kern.snp_names,
                 )
-        else:
+        elif is_root():
             grm_io.write_grm(
                 self.args.out,
-                np.asarray(kern.matrix, dtype=np.float64),
-                np.asarray(kern.counts, dtype=np.float64),
+                to_host(kern.matrix).astype(np.float64),
+                to_host(kern.counts).astype(np.float64),
                 kern.individual_keys,
                 kern.snp_names,
             )
@@ -246,8 +291,14 @@ class Analysis:
     def make_pca(self):
         """--pca (analysis.cpp:233-243)."""
         kern = self.load_grm()
-        pca = compute_pca(kern, n_components=self.args.num_eval)
-        pca.write(self.args.out)
+        ctx = use_distributed(self.args, kern.n)
+        pca = compute_pca(
+            kern,
+            n_components=self.args.num_eval,
+            mesh=ctx.flat if ctx else None,
+        )
+        if is_root():
+            pca.write(self.args.out)
         self.log.message(f"PCA stored at [ {self.args.out}.pca.* ]")
 
     def extra_kernels(self, base_kernel: Kernel) -> List[Kernel]:
@@ -364,10 +415,17 @@ class Analysis:
             # per-individual residual weights E = diag(w) (--weights /
             # --weights-col, options.cpp:770-778, reml.cpp:334-446)
             env_weights = read_phenotype(a.weights, a.weights_col)
+        ctx = use_distributed(a, kern.n)
+        if ctx is not None:
+            self.log.message(
+                f"REML on a {ctx.n_devices}-device mesh (row-sharded "
+                f"covariance, blocked Cholesky)"
+            )
         driver = SingleREML(
             kernels, pheno, covar, self.options.reml_options(),
             environmental_weights=env_weights,
             scale_weights=not a.no_scale_weights,
+            mesh=ctx.flat if ctx else None,
         )
 
         initial_variances = None
@@ -432,8 +490,7 @@ class Analysis:
         if a.snp_blup and (a.bfile or a.bfile_list or a.blup_bfile_list):
             from dissect_tpu.reml.snp_blup import compute_snp_blup, write_snp_blup
 
-            q = driver.engine._final_device_state()
-            py = np.asarray(q["py"], dtype=np.float64)
+            py = driver.engine.final_py()
             if a.blup_bfile_list:
                 # SNP effects from a separate genotype list
                 # (--blup-bfile-list, options.cpp:736-740)
@@ -579,7 +636,8 @@ class Analysis:
             # fast path and the per-SNP ML refits reuse the same
             # eigenbasis (gwas.cpp:1509-1595 + 189-209)
             kern = kern.filter_individuals(common)
-            diag = kern.diagonalize()
+            ctx = use_distributed(a, kern.n)
+            diag = kern.diagonalize(mesh=ctx.flat if ctx else None)
             null = SingleREML(
                 [diag], pheno, covar, self.options.reml_options()
             ).compute(compute_blue=False)
@@ -1192,6 +1250,18 @@ def main(argv=None):
     log.verbose = options.args.verbose
     options.echo(log)
     set_zout(options.args.zout)
+    # runtime startup BEFORE any analysis — the main.cpp:57 analog:
+    # multi-process init + global device mesh (the Communicator/BLACS
+    # grid replacement, communicator.cpp:40-103)
+    ctx = startup_runtime(options.args)
+    if ctx is not None and ctx.n_devices > 1:
+        import jax as _jax
+
+        log.message(
+            f"Device mesh: {ctx.mesh.devices.shape} "
+            f"({ctx.n_devices} x {ctx.mesh.devices.flat[0].platform}, "
+            f"{_jax.process_count()} process(es))"
+        )
     with timers.phase("Total"):
         Analysis(options).run()
     mem = timers.process_memory()

@@ -14,15 +14,27 @@ iteration:
     followed by one sharded syrk (W = L^-1, Vi = W^T W — the pdpotri_
     replacement, matrix.cpp:3080-3153).
 
-The float64 host Newton loop is inherited unchanged from REMLEngine —
-only the quantities evaluation differs.  Per-device memory is
-O(N^2 / D) per resident matrix.
+Arbitrary N is supported by identity-padding: every trait block is
+zero-padded up to the next multiple of (devices * block) and V gains
+ones on the pad diagonal.  The pad rows of y/X are zero and every
+element matrix is zero there, so log|V|, y'Py, gradients, traces and
+the AI matrix are EXACT for the unpadded problem (the analog of
+ScaLAPACK's partial trailing blocks, matrix.cpp:1748-1786); post-fit
+vectors (BLUPs, residuals, Py) are sliced back to the real layout.
+
+The float64 host Newton loop is inherited unchanged from REMLEngine;
+the mixed-precision ENDGAME (the reference's fp32-early/fp64-late
+switch, reml.cpp:1673-1724, matrix.cpp:3080-3138) runs the SAME
+row-sharded quantities in float64 on the mesh — the matrices are never
+gathered to one host, so the double-precision finish survives at
+beyond-HBM N.  Per-device memory is O(N^2 / D) per resident matrix.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,18 +49,35 @@ from dissect_tpu.model.covariance import CovarianceModel
 from dissect_tpu.reml.engine import REMLEngine, REMLOptions
 
 
+def pick_block(n_total: int, n_devices: int, requested: Optional[int] = None) -> int:
+    """Cholesky panel width: largest power of two <= n_total/devices,
+    capped at 256 (the MXU-friendly panel), floored at 8."""
+    if requested is not None:
+        return requested
+    per_dev = max(n_total // max(n_devices, 1), 8)
+    block = 8
+    while block * 2 <= min(per_dev, 256):
+        block *= 2
+    return block
+
+
 @partial(jax.jit, static_argnames=("mesh", "block", "use_ml"))
-def _distributed_dense_quantities(cc, theta, y, x, mesh, block, use_ml=False):
+def _distributed_dense_quantities(
+    cc, theta, y, x, pad_diag, mesh, block, use_ml=False
+):
     """Dense REML quantities with a row-sharded covariance.
 
     Mirrors engine._dense_quantities but replaces the one-chip
     Cholesky/inverse with the distributed factorization.  Multi-trait
     placement is supported through the same CompiledCovariance; the
-    sharded axis is the (T n) row axis.
+    sharded axis is the (T n) row axis.  `pad_diag` carries ones on the
+    identity-pad rows (zeros everywhere real); all returned quantities
+    are exact for the unpadded problem.
     """
     row_spec = NamedSharding(mesh, P("i", None))
 
-    v = jax.lax.with_sharding_constraint(cc.assemble_dense(theta), row_spec)
+    v = cc.assemble_dense(theta) + jnp.diag(pad_diag.astype(theta.dtype))
+    v = jax.lax.with_sharding_constraint(v, row_spec)
     l, logdet_v = distributed_cholesky(v, mesh, "i", block)
     eye = jax.lax.with_sharding_constraint(
         jnp.eye(v.shape[0], dtype=v.dtype), row_spec
@@ -96,9 +125,9 @@ def _distributed_dense_quantities(cc, theta, y, x, mesh, block, use_ml=False):
 class DistributedREMLEngine(REMLEngine):
     """REMLEngine whose quantities run with row-sharded matrices.
 
-    `block` is the Cholesky panel width; (T n) must be divisible by the
-    mesh's 'i' size and by `block`.  float64 refinement is disabled (it
-    would gather the matrices to one host).
+    `block` is the Cholesky panel width (auto-picked when None); any
+    (T n) works — every trait block is identity-padded up to the next
+    multiple of devices*block internally.
     """
 
     def __init__(
@@ -108,37 +137,130 @@ class DistributedREMLEngine(REMLEngine):
         x: np.ndarray,
         mesh: Mesh,
         options: Optional[REMLOptions] = None,
-        block: int = 256,
+        block: Optional[int] = None,
         dtype=None,
     ):
-        import dataclasses
-
         options = options or REMLOptions()
-        options = dataclasses.replace(options, float64_refine=False)
         super().__init__(model, y, x, options, dtype=dtype)
-        if model.n_total % mesh.shape["i"] or model.n_total % block:
+        if self.cc.diagonal:
             raise ValueError(
-                f"n_total={model.n_total} must divide by mesh 'i' size and block"
+                "DistributedREMLEngine is the dense-covariance path; "
+                "diagonalized models run O(n) on one device"
             )
+        n_dev = mesh.shape["i"]
+        self.block = pick_block(model.n_total, n_dev, block)
         self.mesh = mesh
-        self.block = block
-        # shard every element matrix over rows
-        import dataclasses as _dc
+        quantum = n_dev * self.block
 
+        real_sizes = self.cc.trait_sizes
+        padded_sizes = tuple(s + ((-s) % quantum) for s in real_sizes)
         spec = NamedSharding(mesh, P("i", None))
-        self.cc = _dc.replace(
-            self.cc,
-            element_matrices=tuple(
-                jax.device_put(m, spec) for m in self.cc.element_matrices
-            ),
+        mats = []
+        for m, (ti, tj) in zip(self.cc.element_matrices, self.cc.blocks):
+            pr = padded_sizes[ti] - m.shape[0]
+            pc = padded_sizes[tj] - m.shape[1]
+            mp = np.pad(np.asarray(m, dtype=self.dtype), ((0, pr), (0, pc)))
+            mats.append(jax.device_put(mp, spec))
+        self.cc = dataclasses.replace(
+            self.cc, trait_sizes=padded_sizes, element_matrices=tuple(mats)
         )
+        # real-row index into the padded (T n_pad) layout
+        pad_off = np.cumsum([0] + list(padded_sizes))[:-1]
+        self._real_idx = np.concatenate(
+            [po + np.arange(s) for po, s in zip(pad_off, real_sizes)]
+        ).astype(np.int64)
+        total_pad = sum(padded_sizes)
+        pad_mask = np.ones(total_pad)
+        pad_mask[self._real_idx] = 0.0
+        self._pad_diag = jnp.asarray(pad_mask, dtype=self.dtype)
+        y_pad = np.zeros(total_pad)
+        y_pad[self._real_idx] = np.asarray(y, dtype=np.float64)
+        x_arr = np.asarray(x, dtype=np.float64)
+        x_pad = np.zeros((total_pad, x_arr.shape[1]))
+        x_pad[self._real_idx] = x_arr
+        self.y = jnp.asarray(y_pad, dtype=self.dtype)
+        self.x = jnp.asarray(x_pad, dtype=self.dtype)
+
         use_ml = options.use_ml
         self._quantities = lambda theta: _distributed_dense_quantities(
             self.cc,
             jnp.asarray(theta, dtype=self.dtype),
             self.y,
             self.x,
+            self._pad_diag,
             self.mesh,
             self.block,
             use_ml,
         )
+
+    # --- post-fit consumers: slice the pad rows back out -------------------
+    def compute_blup_individuals(self, sub_id: str):
+        return super().compute_blup_individuals(sub_id)[self._real_idx]
+
+    def compute_blup_errors(self, sub_id: str):
+        err = super().compute_blup_errors(sub_id)
+        return None if err is None else err[self._real_idx]
+
+    def final_py(self) -> np.ndarray:
+        return np.asarray(
+            self._final_device_state()["py"], dtype=np.float64
+        )[self._real_idx]
+
+    def _refine_float64(self, theta, fixed, n_steps):
+        """float64 endgame WITHOUT gathering: the same row-sharded
+        quantities re-run at float64 on the mesh (the distributed analog
+        of the reference's precision switch, reml.cpp:1673-1724)."""
+        use_ml = self.options.use_ml
+        spec = NamedSharding(self.mesh, P("i", None))
+        with jax.enable_x64():
+            put = lambda a: jax.device_put(np.asarray(a, dtype=np.float64), spec)
+            cc64 = dataclasses.replace(
+                self.cc,
+                element_matrices=tuple(
+                    put(m) for m in self.cc.element_matrices
+                ),
+            )
+            y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
+            x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
+            pad64 = jnp.asarray(np.asarray(self._pad_diag, dtype=np.float64))
+            q = None
+            ai_inv_full = np.zeros((len(theta), len(theta)))
+            for _ in range(max(n_steps, 1)):
+                q = _distributed_dense_quantities(
+                    cc64,
+                    jnp.asarray(theta, dtype=jnp.float64),
+                    y64,
+                    x64,
+                    pad64,
+                    self.mesh,
+                    self.block,
+                    use_ml,
+                )
+                grad = np.asarray(q["grad"], dtype=np.float64)
+                ai = np.asarray(q["ai"], dtype=np.float64)
+                free = ~fixed
+                try:
+                    ai_inv = np.linalg.inv(ai[np.ix_(free, free)])
+                except np.linalg.LinAlgError:
+                    break
+                ai_inv_full = np.zeros_like(ai)
+                ai_inv_full[np.ix_(free, free)] = ai_inv
+                delta = ai_inv_full @ grad
+                new_theta = theta + delta
+                self._constrain_m1(new_theta)
+                theta = new_theta
+            log_likelihood = -0.5 * (
+                float(q["logdet_v"])
+                + (0.0 if use_ml else float(q["logdet_xtvix"]))
+                + float(q["ytpy"])
+            )
+            self.log.message(
+                f"  f64d logL {log_likelihood:.6f}  "
+                + " ".join(f"{t:.6g}" for t in theta)
+            )
+        q_np = {
+            key: np.asarray(val, dtype=np.float64)
+            for key, val in q.items()
+            if key in ("logdet_v", "logdet_xtvix", "ytpy", "grad", "ai", "finite")
+        }
+        return theta, log_likelihood, q_np, ai_inv_full

@@ -540,6 +540,11 @@ class REMLEngine:
         out = self._quantities(jnp.asarray(self.final_theta, dtype=self.dtype))
         return out
 
+    def final_py(self) -> np.ndarray:
+        """Py at the fitted variances — the vector every BLUP flows
+        from (computeSNPsBLUP consumes it, reml.cpp:3098-3356)."""
+        return np.asarray(self._final_device_state()["py"], dtype=np.float64)
+
     def compute_blue(self):
         """beta = (X'ViX)^-1 X'Vi y with SEs (computeBLUE, reml.cpp:2924-2981)."""
         q = self._final_device_state()

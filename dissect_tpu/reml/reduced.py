@@ -25,13 +25,20 @@ def reduced_model_lrts(
     full_result: REMLResult,
     elements_to_test: Sequence[str],
     include_blue: bool = False,
+    engine_factory=None,
 ) -> List[dict]:
     """Refit with each named sub-covariance removed; LRT vs the full fit.
 
     include_blue additionally reports each reduced model's fixed-effect
     estimates (writeBLUEInReducedModels / --write-blue-reduced,
-    options.cpp:725-729)."""
+    options.cpp:725-729).  `engine_factory(model, y=, x=, options=)`
+    lets drivers route the refits to the same (e.g. distributed) engine
+    as the full fit."""
     reduced_opts = dataclasses.replace(options, first_step_em=False)
+    if engine_factory is None:
+        engine_factory = lambda model, y, x, options: REMLEngine(
+            model, y, x, options
+        )
     full_theta = dict(zip(full_result.variance_names, full_result.variances))
     lrts: List[dict] = []
     for sub_id in elements_to_test:
@@ -44,7 +51,7 @@ def reduced_model_lrts(
                 for nm, v in zip(reduced.variance_names(), reduced.variances)
             ]
         )
-        engine = REMLEngine(reduced, y, x, reduced_opts)
+        engine = engine_factory(reduced, y=y, x=x, options=reduced_opts)
         res = engine.fit(init)
         if res.success:
             blue = engine.compute_blue() if include_blue else None

@@ -71,8 +71,16 @@ class SingleREML:
         options: Optional[REMLOptions] = None,
         environmental_weights: Optional[Phenotype] = None,
         scale_weights: bool = True,
+        mesh=None,
+        distributed_block: Optional[int] = None,
     ):
+        """With `mesh` (a 1D jax Mesh over axis 'i'), dense fits run on
+        the row-sharded DistributedREMLEngine — the multi-chip path the
+        reference gets from the BLACS grid (communicator.cpp:40-103);
+        the diagonalized fast path stays single-device (O(n) work)."""
         self.options = options or REMLOptions()
+        self.mesh = mesh
+        self.distributed_block = distributed_block
         if covariate is None:
             covariate = read_covariates(default_keys=phenotype.keys)
         # individual intersection, GRM-ordered (reml.cpp:262-387)
@@ -169,7 +177,7 @@ class SingleREML:
                 if nm in vnames:
                     theta0[vnames.index(nm)] = val
             initial_theta = theta0
-        engine = REMLEngine(model, self.y, self.x, self.options)
+        engine = self._make_engine(model)
         result = engine.fit(initial_theta, checkpoint_path=checkpoint_path)
 
         from dissect_tpu.model.covariance import ParameterType
@@ -223,6 +231,18 @@ class SingleREML:
         self.engine = engine
         self.model = model
         return out
+
+    def _make_engine(self, model, y=None, x=None, options=None):
+        y = self.y if y is None else y
+        x = self.x if x is None else x
+        options = self.options if options is None else options
+        if self.mesh is not None and not self.diagonal:
+            from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+            return DistributedREMLEngine(
+                model, y, x, self.mesh, options, block=self.distributed_block
+            )
+        return REMLEngine(model, y, x, options)
 
     def subsample_prefit(
         self,
@@ -288,5 +308,6 @@ class SingleREML:
         lrts = reduced_model_lrts(
             self.model, self.y, self.x, self.options, full.result,
             elements_to_test, include_blue=include_blue,
+            engine_factory=self._make_engine,
         )
         return full, lrts

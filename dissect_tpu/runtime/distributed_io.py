@@ -68,11 +68,33 @@ def global_sharded_array(
     )
 
 
+def is_root() -> bool:
+    """True on the process that writes result files (the reference's
+    root-only Message discipline, message.h:65-83)."""
+    return jax.process_index() == 0
+
+
+def to_host(array) -> np.ndarray:
+    """A full host copy of a (possibly multi-host sharded) jax.Array.
+
+    Single-process (or fully-addressable) arrays go straight to numpy;
+    otherwise every process reassembles the global value from the
+    addressable shards of all hosts (the gatherMatrix analog,
+    matrix.cpp:196-340).
+    """
+    if not hasattr(array, "is_fully_addressable") or array.is_fully_addressable:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
 def stream_grm_sharded(
     data,
     ctx: MeshContext,
     chunk_size: int = 4096,
     dtype=jnp.float32,
+    flat_normalization: bool = False,
 ):
     """Streaming GRM with the N x N kernel sharded P('i','j') on the mesh.
 
@@ -81,6 +103,13 @@ def stream_grm_sharded(
     XLA's SPMD partitioner) and adds Z_c^T Z_c into the sharded kernel.
     This is the multi-chip path of kernel.cpp:92-109; per-chunk comm is
     one psum-equivalent inserted by SPMD.
+
+    Multi-process runs decode only the SNP rows owned by this host's
+    devices (the per-process BED block-row segments of
+    genotype.cpp:639-707): each chunk is assembled as a globally
+    sharded array via `make_array_from_callback`, so genotypes never
+    cross hosts — only the SPMD-inserted reduction of partial Gram
+    matrices does.
     """
     from dissect_tpu.linalg.syrk import grm_accumulator
 
@@ -89,6 +118,10 @@ def stream_grm_sharded(
         raise ValueError("monomorphic SNPs present; filter them first")
     mean = stats.mean
     inv_std = 1.0 / stats.std
+    if jax.process_count() > 1:
+        return _stream_grm_multiprocess(
+            data, ctx, chunk_size, dtype, flat_normalization, mean, inv_std
+        )
     acc = grm_accumulator(
         data.n_individuals,
         dtype=dtype,
@@ -107,5 +140,65 @@ def stream_grm_sharded(
                 istd = np.concatenate([istd, np.ones(pad)])
             acc.update(chunk, mu, istd)
         kernel, counts = acc.finalize()
+        if flat_normalization:
+            # --grm-flat-normalization: constant SNP count denominator
+            # (kernel.cpp:382-460)
+            counts = jnp.full_like(counts, float(data.n_snps))
         normalized = kernel / jnp.where(counts == 0, 1.0, counts)
+    return normalized, counts
+
+
+def _stream_grm_multiprocess(
+    data, ctx, chunk_size, dtype, flat_normalization, mean, inv_std
+):
+    """Multi-host GRM: per-host SNP-row decode + SPMD syrk accumulation.
+
+    Every chunk of SNP rows is a global jax.Array sharded P('i', None);
+    `make_array_from_callback` hands each addressable shard's global
+    row range to the host that owns it, which decodes exactly those
+    rows from its memmap of the (shared) .bed file.  The jitted
+    accumulation contracts over the sharded SNP axis — XLA inserts the
+    cross-host reduction (the MPI_Allreduce of partial Gram matrices).
+    """
+    from dissect_tpu.linalg.syrk import grm_update
+
+    n, m = data.n_individuals, data.n_snps
+    i_size = ctx.mesh.shape["i"]
+    g = max(chunk_size // i_size, 1) * i_size  # rows per global chunk
+    rows_spec = ctx.sharding(P("i", None))
+    kernel = jax.make_array_from_callback(
+        (n, n), ctx.sharding(P("i", "j")),
+        lambda idx: np.zeros((len(range(*idx[0].indices(n))),
+                              len(range(*idx[1].indices(n)))), dtype),
+    )
+    counts = jax.make_array_from_callback(
+        (n, n), ctx.sharding(P("i", "j")),
+        lambda idx: np.zeros((len(range(*idx[0].indices(n))),
+                              len(range(*idx[1].indices(n)))), dtype),
+    )
+    with ctx.mesh:
+        for start in range(0, m, g):
+            def decode(idx, start=start):
+                lo, hi, _ = idx[0].indices(g)
+                s, e = start + lo, min(start + hi, m)
+                block = np.full((hi - lo, n), -1, dtype=np.int8)
+                if s < e:
+                    block[: e - s] = data.decode_chunk(s, e)
+                return block
+
+            dosage = jax.make_array_from_callback((g, n), rows_spec, decode)
+            stop = min(start + g, m)
+            mu = np.zeros(g)
+            istd = np.ones(g)
+            mu[: stop - start] = mean[start:stop]
+            istd[: stop - start] = inv_std[start:stop]
+            kernel, counts = grm_update(
+                kernel, counts, dosage, jnp.asarray(mu), jnp.asarray(istd),
+                compute_dtype=dtype, accum_dtype=jnp.float32,
+            )
+        if flat_normalization:
+            counts = jnp.full_like(counts, float(m))
+        normalized = jax.jit(
+            lambda k, c: k / jnp.where(c == 0, 1.0, c)
+        )(kernel, counts)
     return normalized, counts

@@ -65,6 +65,13 @@ class MeshContext:
         return NamedSharding(self.mesh, spec)
 
     @property
+    def flat(self) -> Mesh:
+        """1D mesh over all devices, axis 'i' — used by the row-sharded
+        engines (blocked Cholesky, distributed eigensolver) where a
+        single sharded axis engages every chip."""
+        return Mesh(self.mesh.devices.reshape(-1), ("i",))
+
+    @property
     def n_devices(self) -> int:
         return self.mesh.devices.size
 

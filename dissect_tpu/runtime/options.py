@@ -332,6 +332,17 @@ def build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--col-labels", help="file of column labels to keep")
 
     misc = p.add_argument_group("misc")
+    misc.add_argument("--mesh", default="auto",
+                      help="device mesh: 'auto' (all devices, near-square "
+                      "grid — the nProcRows x nProcCols factoring, "
+                      "communicator.cpp:66-79), 'none', 'RxC', or a device "
+                      "count")
+    misc.add_argument("--distributed-threshold", type=_ranged(int, 0),
+                      default=16384,
+                      help="minimum cohort size for the sharded multi-chip "
+                      "engines (below it one chip is faster)")
+    misc.add_argument("--force-distributed", action="store_true",
+                      help="run the sharded engines regardless of size")
     misc.add_argument("--verbose", action="store_true")
     misc.add_argument("--zout", action="store_true", help="gzip result files")
     misc.add_argument("--default-block-size", type=int, default=None,
