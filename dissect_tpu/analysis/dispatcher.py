@@ -609,13 +609,18 @@ class Analysis:
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
 
-        use_mixed = bool(a.grm) or bool(a.bfile and (a.REML or False))
         kern = None
+        extras: List[Kernel] = []
         if a.grm:
             kern = self.load_grm(allow_compute=False)
+            extras = self.extra_kernels(kern)
             common = intersection_keeping_order(
                 kern.individual_keys, pheno.keys, covar.keys, data.individual_keys
             )
+            for extra in extras:
+                common = intersection_keeping_order(
+                    common, extra.individual_keys
+                )
         else:
             common = intersection_keeping_order(
                 data.individual_keys, pheno.keys, covar.keys
@@ -628,42 +633,27 @@ class Analysis:
         stats = data.stats()
         z = _centered_genotypes(data, stats)
 
-        if a.groups or a.group_all:
-            return self._grouped_gwas(data, z, y, x, stats)
-
+        covariance = None
         if kern is not None:
-            # diagonalize ONCE: the null fit runs on the O(n) diagonal
-            # fast path and the per-SNP ML refits reuse the same
-            # eigenbasis (gwas.cpp:1509-1595 + 189-209)
-            kern = kern.filter_individuals(common)
-            ctx = use_distributed(a, kern.n)
-            diag = kern.diagonalize(mesh=ctx.flat if ctx else None)
-            null = SingleREML(
-                [diag], pheno, covar, self.options.reml_options()
-            ).compute(compute_blue=False)
-            vnames = null.result.variance_names
-            vg = null.result.variances[vnames.index("Var(GRM)")]
-            ve = null.result.variances[vnames.index("Var(E)")]
-            if a.gwas_use_null_variances:
-                v = vg * np.asarray(kern.dense(), dtype=np.float64) + ve * np.eye(
-                    len(common)
-                )
-                from dissect_tpu.linalg.spd import spd_inverse_logdet
+            covariance = self._gwas_covariance(
+                [kern] + extras, common, pheno, covar
+            )
 
-                v_inv, _, _ = spd_inverse_logdet(jnp.asarray(v))
+        if a.groups or a.group_all:
+            return self._grouped_gwas(data, z, y, x, stats, covariance)
+
+        if covariance is not None:
+            lam, u, (vg, ve) = covariance
+            if a.gwas_use_null_variances:
+                # EMMAX fast path: V^-1 straight from the eigenbasis
+                v_inv = (u * (1.0 / (vg * lam + ve))) @ u.T
                 res = _chunked_gwas(
-                    lambda zc: mlm_gwas_fixed_v(zc, y, x, v_inv), z
+                    lambda zc: mlm_gwas_fixed_v(zc, y, x, jnp.asarray(v_inv)),
+                    z,
                 )
             else:
                 res = _chunked_gwas(
-                    lambda zc: mlm_gwas_ml_refit(
-                        zc,
-                        y,
-                        x,
-                        np.asarray(diag.eigenvalues, dtype=np.float64),
-                        np.asarray(diag.eigenvectors, dtype=np.float64),
-                        (vg, ve),
-                    ),
+                    lambda zc: mlm_gwas_ml_refit(zc, y, x, lam, u, (vg, ve)),
                     z,
                 )
         else:
@@ -671,6 +661,67 @@ class Analysis:
 
         self._write_gwas(res, data, covar, common)
         return res
+
+    def _gwas_covariance(self, kernels: List[Kernel], common, pheno, covar):
+        """GWAS::computeCovariance (gwas.cpp:1400-1602): the mixed-model
+        covariance kernel + per-SNP warm-start variances.
+
+        One kernel: the GRM itself.  Several (GRM + random-effect
+        kernels from addKernelsUsingOptions): an internal REML fit
+        builds V = sum(sigma2_i K_i) + sigma2_E I, scaled by
+        1/sum(sigma2_genetic) (gwas.cpp:1582-1596).  Either way the
+        result is diagonalized ONCE; the null fit runs on the O(n)
+        diagonal fast path and every per-SNP/per-group ML refit reuses
+        the same eigenbasis (gwas.cpp:1509-1595 + 189-209).
+
+        Returns (eigenvalues, eigenvectors, (v_genetic, v_residual)).
+        """
+        a = self.args
+        ctx = use_distributed(a, len(common))
+        mesh = ctx.flat if ctx else None
+        kernels = [k.filter_individuals(common) for k in kernels]
+        if len(kernels) == 1:
+            base = kernels[0]
+        else:
+            self.log.message(
+                f"Computing the GWAS covariance from {len(kernels)} kernels "
+                "(internal REML fit, gwas.cpp:1506-1592)"
+            )
+            driver = SingleREML(
+                kernels, pheno, covar, self.options.reml_options(), mesh=mesh
+            )
+            fit = driver.compute(compute_blue=False)
+            if not fit.result.success:
+                raise RuntimeError(
+                    "REML did not converge, the GWAS covariance cannot be "
+                    "computed (gwas.cpp:1563-1569)"
+                )
+            theta = jnp.asarray(fit.result.variances)
+            cc = driver.model.compile()
+            v = np.asarray(cc.assemble_dense(theta), dtype=np.float64)
+            sigma_g = float(
+                fit.result.variances[
+                    driver.model.genetic_variance_indices()
+                ].sum()
+            )
+            base = Kernel(
+                name="V",
+                type=KernelType.COVARIANCE_MATRIX,
+                individual_keys=list(common),
+                matrix=jnp.asarray(v / sigma_g),
+            )
+        diag = base.diagonalize(mesh=mesh)
+        null = SingleREML(
+            [diag], pheno, covar, self.options.reml_options()
+        ).compute(compute_blue=False)
+        vnames = null.result.variance_names
+        vg = null.result.variances[vnames.index(f"Var({base.name})")]
+        ve = null.result.variances[vnames.index("Var(E)")]
+        return (
+            np.asarray(diag.eigenvalues, dtype=np.float64),
+            np.asarray(diag.eigenvectors, dtype=np.float64),
+            (vg, ve),
+        )
 
     def _gwas_genotype_grm_list(self):
         """--bfile-grm-list / --bgen-grm-list (gwas.cpp:61-110): a
@@ -709,10 +760,13 @@ class Analysis:
              a.out) = saved
         return outs
 
-    def _grouped_gwas(self, data, z, y, x, stats):
+    def _grouped_gwas(self, data, z, y, x, stats, covariance=None):
         """Grouped GWAS (computeGroupedGWAS, gwas.cpp:314-478): joint
-        per-group OLS fits with the F-test GROUPPV column and optional
-        per-individual group effects."""
+        per-group fits — OLS with the F-test GROUPPV, or, when a GRM is
+        given, ML refits under the mixed-model covariance with the
+        chi2-LRT GROUPPV (computeGLMWithCovariance group fits,
+        gwas.cpp:787-914 + 940-957) — plus optional per-individual
+        group effects."""
         from collections import OrderedDict
 
         from dissect_tpu.gwas.grouped import grouped_gwas
@@ -732,6 +786,7 @@ class Analysis:
             significance_threshold=a.significance_threshold,
             correlation_threshold=a.snp_corr_threshold,
             compute_effects=a.group_effects,
+            covariance=covariance,
         )
         name_to_snp = {s.name: s for s in data.snps}
         name_to_i = {s.name: i for i, s in enumerate(data.snps)}
@@ -945,15 +1000,28 @@ class Analysis:
         data = self.load_genotype()
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
-        common = intersection_keeping_order(
-            data.individual_keys, pheno.keys, covar.keys
-        )
+        kern = None
+        if a.grm:
+            # recursive group fits run under the mixed-model covariance
+            # when a GRM is given (computeGLM dispatch, gwas.cpp:690-700)
+            kern = self.load_grm(allow_compute=False)
+            common = intersection_keeping_order(
+                kern.individual_keys, pheno.keys, covar.keys,
+                data.individual_keys,
+            )
+        else:
+            common = intersection_keeping_order(
+                data.individual_keys, pheno.keys, covar.keys
+            )
         data = data.filter(keep_individuals=common)
         pm = pheno.as_dict()
         y = np.array([pm[k] for k in common])
         x = covar.filter_individuals(common).matrix
         stats = data.stats()
         z = _centered_genotypes(data, stats)
+        covariance = None
+        if kern is not None:
+            covariance = self._gwas_covariance([kern], common, pheno, covar)
         significant, results = recursive_gwas(
             z, data.snp_names, y, x,
             group_size=a.rgwas_group_size,
@@ -961,6 +1029,7 @@ class Analysis:
             max_iterations=a.rgwas_maxit,
             iteration_thresholds=a.rgwas_thresholds,
             max_fit_ratio=a.rgwas_ratio,
+            covariance=covariance,
         )
         with result_open(a.out + ".rgwas") as fh:
             fh.write("SNP\n")

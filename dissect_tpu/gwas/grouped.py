@@ -33,7 +33,7 @@ import numpy as np
 
 from dissect_tpu.io.labeled_matrix import LabeledMatrix
 from dissect_tpu.linalg.qr import dependent_columns
-from dissect_tpu.runtime.stats import f_sf, t_sf
+from dissect_tpu.runtime.stats import chi2_sf, f_sf, t_sf
 
 
 @dataclasses.dataclass
@@ -65,6 +65,24 @@ def _joint_ols_batch(gs, y, x):
     return jax.vmap(one)(gs)
 
 
+@partial(jax.jit, static_argnames=("n_iterations",))
+def _joint_ml_batch(gs_rot, y_rot, x_rot, lam, theta0, n_iterations):
+    """Batched per-group ML fits under the mixed-model covariance.
+
+    The group fits of the reference run computeGLMWithCovariance — an
+    embedded ML REML per group (gwas.cpp:314-478, 787-914).  In the
+    covariance eigenbasis V(theta) = t1*diag(lam) + t2*I is diagonal,
+    so each group's Fisher-scoring ML fit is O(n) per iteration, and
+    all groups of one size run as a single vmapped kernel."""
+    from dissect_tpu.gwas.mlm import _ml_fit_diagonal
+
+    def one(g_rot):
+        xg = jnp.concatenate([x_rot, g_rot.T], axis=1)
+        return _ml_fit_diagonal(lam, y_rot, xg, theta0, n_iterations)
+
+    return jax.vmap(one)(gs_rot)
+
+
 def grouped_gwas(
     genotypes,
     snp_names: Sequence[str],
@@ -74,9 +92,18 @@ def grouped_gwas(
     significance_threshold: float = 5e-8,
     correlation_threshold: float = 0.99,
     compute_effects: bool = False,
+    covariance=None,
+    ml_iterations: int = 15,
     dtype=None,
 ) -> Tuple[Dict[str, GroupResult], Optional[LabeledMatrix]]:
-    """Joint OLS fit per SNP group, batched by group size."""
+    """Joint fit per SNP group, batched by group size.
+
+    Without `covariance`: OLS with the F-test GROUPPV.  With
+    `covariance` = (eigenvalues, eigenvectors, theta0) of the
+    mixed-model kernel: per-group ML refits in the eigenbasis with the
+    chi2 likelihood-ratio GROUPPV against the covariates-only ML fit
+    (computeGroupSignificance's MLModelType branch, gwas.cpp:940-957).
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     g_all = np.asarray(genotypes, dtype=np.float64)
@@ -85,7 +112,23 @@ def grouped_gwas(
     n, c = x.shape
     name_to_idx = {nm: i for i, nm in enumerate(snp_names)}
 
-    # reduced (covariates-only) fit
+    lam = u = theta0 = y_rot = x_rot = logl0 = None
+    if covariance is not None:
+        from dissect_tpu.gwas.mlm import _ml_fit_diagonal
+
+        eigenvalues, eigenvectors, warm = covariance
+        lam = jnp.asarray(eigenvalues, dtype=dtype)
+        u = np.asarray(eigenvectors, dtype=np.float64)
+        theta0 = jnp.asarray(np.asarray(warm, dtype=np.float64), dtype=dtype)
+        y_rot = jnp.asarray(u.T @ y, dtype=dtype)
+        x_rot = jnp.asarray(u.T @ x, dtype=dtype)
+        # reduced (covariates-only) ML fit for the LRT baseline
+        _, _, _, logl0, _ = jax.jit(
+            _ml_fit_diagonal, static_argnames=("n_iterations",)
+        )(lam, y_rot, x_rot, theta0, n_iterations=ml_iterations)
+        logl0 = float(logl0)
+
+    # reduced (covariates-only) OLS fit
     a0 = x.T @ x
     b0 = np.linalg.solve(a0, x.T @ y)
     btxty0 = b0 @ (x.T @ y)
@@ -116,31 +159,57 @@ def grouped_gwas(
         gs = np.stack(
             [g_all[[name_to_idx[s] for s in filtered[g][0]]] for g in group_list]
         )
-        bs, a_inv_diags, btxtys = _joint_ols_batch(
-            jnp.asarray(gs, dtype=dtype), yj, xj
-        )
-        bs = np.asarray(bs, dtype=np.float64)
-        a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
-        btxtys = np.asarray(btxtys, dtype=np.float64)
         p_coef = c + size
         df = n - p_coef
+        h = p_coef - c
+        if covariance is not None:
+            gs_rot = np.einsum("bsn,nm->bsm", gs, u)
+            bs, a_inv_diags, _, logls, grad_norms = _joint_ml_batch(
+                jnp.asarray(gs_rot, dtype=dtype), y_rot, x_rot, lam, theta0,
+                ml_iterations,
+            )
+            bs = np.asarray(bs, dtype=np.float64)
+            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
+            logls = np.asarray(logls, dtype=np.float64)
+            grad_norms = np.asarray(grad_norms, dtype=np.float64)
+        else:
+            bs, a_inv_diags, btxtys = _joint_ols_batch(
+                jnp.asarray(gs, dtype=dtype), yj, xj
+            )
+            bs = np.asarray(bs, dtype=np.float64)
+            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
+            btxtys = np.asarray(btxtys, dtype=np.float64)
         for bi, group in enumerate(group_list):
             kept, dropped = filtered[group]
-            sse = yty - btxtys[bi]
-            mse = sse / df
-            se = np.sqrt(np.maximum(mse * a_inv_diags[bi], 0.0))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t = bs[bi] / se
-            pvals = 2.0 * t_sf(df, np.abs(t))
-            ssr = btxtys[bi] - btxty0
-            h = p_coef - c
-            if ssr < 0 or mse <= 0:
-                f_stat, f_p = np.nan, np.nan
-                ok = False
+            if covariance is not None:
+                # chi2 Wald per coefficient + LRT group test
+                # (gwas.cpp:889-903, 940-957)
+                se = np.sqrt(np.maximum(a_inv_diags[bi], 0.0))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    chi2 = (bs[bi] / se) ** 2
+                pvals = chi2_sf(1, chi2)
+                lrt = 2.0 * (logls[bi] - logl0)
+                if lrt < 0:
+                    f_stat, f_p = float(lrt), -1.0  # gwas.cpp:946-949
+                else:
+                    f_stat = float(lrt)
+                    f_p = float(chi2_sf(h, lrt))
+                ok = bool(np.isfinite(logls[bi]))
             else:
-                f_stat = (ssr / h) / mse
-                f_p = float(f_sf(h, df, f_stat))
-                ok = True
+                sse = yty - btxtys[bi]
+                mse = sse / df
+                se = np.sqrt(np.maximum(mse * a_inv_diags[bi], 0.0))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = bs[bi] / se
+                pvals = 2.0 * t_sf(df, np.abs(t))
+                ssr = btxtys[bi] - btxty0
+                if ssr < 0 or mse <= 0:
+                    f_stat, f_p = np.nan, np.nan
+                    ok = False
+                else:
+                    f_stat = (ssr / h) / mse
+                    f_p = float(f_sf(h, df, f_stat))
+                    ok = True
             snp_beta = bs[bi][c:]
             geno = gs[bi]
             group_effect = geno.T @ snp_beta
@@ -200,6 +269,7 @@ def recursive_gwas(
     max_iterations: int = 20,
     iteration_thresholds: Optional[Sequence[float]] = None,
     max_fit_ratio: Optional[float] = None,
+    covariance=None,
 ) -> Tuple[List[str], Dict[str, GroupResult]]:
     """Iterative grouped fit -> keep significant -> regroup
     (computeRecursiveGWAS, gwas.cpp:239-284).  Returns the fixed-point
@@ -229,6 +299,7 @@ def recursive_gwas(
         results, _ = grouped_gwas(
             sub, current, grouping, y, x,
             significance_threshold=significance_threshold,
+            covariance=covariance,
         )
         last_results = results
         kept: List[Tuple[float, str]] = []
