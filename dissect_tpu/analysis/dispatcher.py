@@ -128,6 +128,84 @@ class Analysis:
             data = data.filter(keep_snps=keep_snps, keep_individuals=keep_inds)
         return data
 
+    @staticmethod
+    def _kernel_from_loaded(name: str, loaded: dict) -> Kernel:
+        """A Kernel from a read_grm() dict (dense or diagonalized)."""
+        if loaded["diagonalized"]:
+            return Kernel(
+                name=name,
+                type=KernelType.GRM,
+                individual_keys=loaded["individual_keys"],
+                snp_names=loaded["snp_names"],
+                diagonalized=True,
+                eigenvalues=jnp.asarray(loaded["eigenvalues"]),
+                eigenvectors=jnp.asarray(loaded["eigenvectors"]),
+            )
+        return Kernel(
+            name=name,
+            type=KernelType.GRM,
+            individual_keys=loaded["individual_keys"],
+            snp_names=loaded["snp_names"],
+            matrix=jnp.asarray(loaded["kernel"]),
+            counts=jnp.asarray(loaded["counts"]),
+        )
+
+    def load_reml_kernels(self):
+        """The multi-GRM loadGRMUsingOptions overload
+        (auxiliar.cpp:702-860): --grm-list rows
+        'name grm_prefix N|F|L [genotypes]' load several NAMED GRMs
+        fitted jointly; F (file) / L (list file) attach the genotype
+        source used for that sub-covariance's SNP BLUPs
+        (computeSNPsBLUP's per-name loop, reml.cpp:3098-3135).
+
+        Returns (kernels, blup_sources) with blup_sources mapping a
+        kernel name to its genotype prefixes (None = the analysis'
+        default --bfile genotypes)."""
+        a = self.args
+        blup_sources: dict = {}
+        if not a.grm_list:
+            kern = self.load_grm()
+            if a.snp_blup:
+                if a.blup_bfile_list:
+                    # SNP effects from a separate genotype list
+                    # (--blup-bfile-list, options.cpp:736-740)
+                    with open(a.blup_bfile_list) as fh:
+                        blup_sources[kern.name] = [
+                            ln.strip() for ln in fh if ln.strip()
+                        ]
+                elif a.bfile or a.bfile_list or a.bgen:
+                    blup_sources[kern.name] = None
+            return [kern], blup_sources
+        kernels: List[Kernel] = []
+        with open(a.grm_list) as fh:
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                name, prefix = parts[0], parts[1]
+                kern = self._kernel_from_loaded(name, grm_io.read_grm(prefix))
+                if not kern.diagonalized:
+                    kern = kern.sanitize(a.min_overlap_snps)
+                    if a.grm_cutoff is not None:
+                        kern = kern.prune(a.grm_cutoff)
+                kernels.append(kern)
+                flag = parts[2] if len(parts) > 2 else "N"
+                if a.snp_blup and flag == "F":
+                    blup_sources[name] = [parts[3]]
+                elif a.snp_blup and flag == "L":
+                    with open(parts[3]) as lf:
+                        blup_sources[name] = [
+                            ln.strip() for ln in lf if ln.strip()
+                        ]
+                elif flag not in ("N", "F", "L"):
+                    raise ValueError(
+                        f"invalid genotype flag {flag!r} in [ {a.grm_list} ] "
+                        "(valid: N, F, L; auxiliar.cpp:786)"
+                    )
+        if not kernels:
+            raise ValueError(f"no GRMs listed in [ {a.grm_list} ]")
+        return kernels, blup_sources
+
     def load_grm(self, allow_compute: bool = True) -> Kernel:
         """loadGRMUsingOptions parity (auxiliar.h:264-275): read a stored
         .grm.* artifact or compute from genotypes."""
@@ -145,26 +223,7 @@ class Analysis:
                 kern = kern.prune(a.grm_cutoff)
             return kern
         if a.grm:
-            loaded = grm_io.read_grm(a.grm)
-            if loaded["diagonalized"]:
-                kern = Kernel(
-                    name="GRM",
-                    type=KernelType.GRM,
-                    individual_keys=loaded["individual_keys"],
-                    snp_names=loaded["snp_names"],
-                    diagonalized=True,
-                    eigenvalues=jnp.asarray(loaded["eigenvalues"]),
-                    eigenvectors=jnp.asarray(loaded["eigenvectors"]),
-                )
-            else:
-                kern = Kernel(
-                    name="GRM",
-                    type=KernelType.GRM,
-                    individual_keys=loaded["individual_keys"],
-                    snp_names=loaded["snp_names"],
-                    matrix=jnp.asarray(loaded["kernel"]),
-                    counts=jnp.asarray(loaded["counts"]),
-                )
+            kern = self._kernel_from_loaded("GRM", grm_io.read_grm(a.grm))
         elif allow_compute and (a.bfile or a.bfile_list or a.bgen):
             data = self.load_genotype()
             ctx = use_distributed(a, data.n_individuals)
@@ -402,9 +461,10 @@ class Analysis:
         from dissect_tpu.runtime.checkpoint import read_initial_variances
 
         a = self.args
-        kern = self.load_grm()
+        base_kernels, blup_sources = self.load_reml_kernels()
+        kern = base_kernels[0]
         covar = self.load_covariate(pheno.keys)
-        kernels = [kern] + self.extra_kernels(kern)
+        kernels = base_kernels + self.extra_kernels(kern)
         if a.epistasis_var:
             # epistatic K.*K as an ADDITIONAL variance component
             # (--epistasis-var, singlereml.cpp:72-90); --grm-epi instead
@@ -487,31 +547,39 @@ class Analysis:
                 write_blup_indiv(
                     a.out, name, out.individual_keys, blup, errors=errors
                 )
-        if a.snp_blup and (a.bfile or a.bfile_list or a.blup_bfile_list):
+        if a.snp_blup and blup_sources:
             from dissect_tpu.reml.snp_blup import compute_snp_blup, write_snp_blup
 
             py = driver.engine.final_py()
-            if a.blup_bfile_list:
-                # SNP effects from a separate genotype list
-                # (--blup-bfile-list, options.cpp:736-740)
-                with open(a.blup_bfile_list) as fh:
-                    prefixes = [l.strip() for l in fh if l.strip()]
-                datasets = [(p, read_plink(p)) for p in prefixes]
-            else:
-                datasets = [(None, self.load_genotype())]
-            for prefix, data in datasets:
-                blup_result = compute_snp_blup(
-                    data,
-                    out.individual_keys,
-                    py,
-                    out.result.variance("Var(GRM)"),
-                    grm_snp_names=(
-                        None if a.blup_no_filter_snps
-                        else (kern.snp_names or None)
-                    ),
-                )
-                tag = "" if prefix is None else "." + prefix.replace("/", "_")
-                write_snp_blup(a.out + tag, "GRM", blup_result)
+            # loop over every named sub-covariance with genotype data
+            # (computeSNPsBLUP, reml.cpp:3098-3135)
+            for k in base_kernels:
+                if k.name not in blup_sources:
+                    continue
+                vname = f"Var({k.name})"
+                if vname not in out.result.variance_names:
+                    continue
+                sources = blup_sources[k.name]
+                if sources is None:
+                    datasets = [(None, self.load_genotype())]
+                else:
+                    datasets = [(p, read_plink(p)) for p in sources]
+                for prefix, data in datasets:
+                    blup_result = compute_snp_blup(
+                        data,
+                        out.individual_keys,
+                        py,
+                        out.result.variance(vname),
+                        grm_snp_names=(
+                            None if a.blup_no_filter_snps
+                            else (k.snp_names or None)
+                        ),
+                    )
+                    tag = (
+                        "" if prefix is None
+                        else "." + prefix.replace("/", "_")
+                    )
+                    write_snp_blup(a.out + tag, k.name, blup_result)
         self.log.message(f"REML results stored at [ {a.out}.reml ]")
         return out
 
@@ -980,14 +1048,28 @@ class Analysis:
         covar = covar.filter_individuals(common)
         stats = data.stats()
         z = _centered_genotypes(data, stats)
-        v_inv = None
+        covariance = None
         if a.grm:
+            # igwas covariance mirrors the GWAS machinery
+            # (IGWAS::computeCovariance, igwas.cpp:1223-1420): the GRM
+            # (+extras), diagonalized once; every SNP-as-outcome test is
+            # then a per-SNP ML variance refit in the eigenbasis
+            # (igwas.cpp:575-720) — NOT a fixed V = K + I
             kern = self.load_grm(allow_compute=False).filter_individuals(common)
-            v = np.asarray(kern.dense(), dtype=np.float64) + np.eye(len(common))
-            from dissect_tpu.linalg.spd import spd_inverse_logdet
-
-            v_inv, _, _ = spd_inverse_logdet(jnp.asarray(v))
-        res = igwas(z, data.snp_names, covar.matrix, covar.column_names, v_inv)
+            ctx = use_distributed(a, kern.n)
+            diag = kern.diagonalize(mesh=ctx.flat if ctx else None)
+            covariance = (
+                np.asarray(diag.eigenvalues, dtype=np.float64),
+                np.asarray(diag.eigenvectors, dtype=np.float64),
+            )
+        res = igwas(
+            z,
+            data.snp_names,
+            covar.matrix,
+            covar.column_names,
+            covariance=covariance,
+            initial_h2=a.initial_h2,
+        )
         res.write(a.out)
         self.log.message(f"inverse GWAS stored at [ {a.out}.igwas ]")
         return res
@@ -1049,18 +1131,41 @@ class Analysis:
         kern = self.load_grm()
         pheno = self.load_phenotypes()[0]
         covar = self.load_covariate(pheno.keys)
+        kernels = [kern] + self.extra_kernels(kern)
         common = intersection_keeping_order(
             kern.individual_keys, pheno.keys, covar.keys
         )
-        kern = kern.filter_individuals(common)
+        for extra in kernels[1:]:
+            common = intersection_keeping_order(common, extra.individual_keys)
+        kernels = [k.filter_individuals(common) for k in kernels]
         pm = pheno.as_dict()
         raw = np.array([pm[k] for k in common])
         y = (raw == raw.max()).astype(np.float64)  # 1/2 case coding -> 0/1
         x = covar.filter_individuals(common).matrix
-        var = float(np.var(y, ddof=1))
-        v = (
-            a.initial_h2 * var * np.asarray(kern.dense(), dtype=np.float64)
-            + (1 - a.initial_h2) * var * np.eye(len(common))
+
+        # the covariance GLMM samples from is the REML-PREPARED model
+        # (SingleREML hands its prepared reml to GLMM,
+        # singlereml.cpp:193-200; GLMM::GLMM assembles V from the
+        # prepare-time initial variances, glmm.cpp:40-55): all kernels +
+        # E, with initial variances h2/(1-h2)-split of the OLS residual
+        # variance (reml.cpp:1100-1131) — not raw var(y) on the GRM alone
+        from dissect_tpu.reml.builders import (
+            build_variance_model,
+            initial_residual_variance,
+        )
+
+        pheno_var = initial_residual_variance(y, x)
+        model = build_variance_model(
+            [np.asarray(k.dense(), dtype=np.float64) for k in kernels],
+            [k.name for k in kernels],
+            [pheno_var],
+            [a.initial_h2],
+        )
+        v = np.asarray(
+            model.compile().assemble_dense(
+                jnp.asarray(model.initial_theta())
+            ),
+            dtype=np.float64,
         )
         result = GLMM(y, x, v, seed=a.random_seed).fit()
         with result_open(a.out + ".glmm") as fh:

@@ -14,6 +14,7 @@ analog), with per-SNP MSEs for the OLS standard errors.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -61,26 +62,74 @@ def _igwas_gls_core(g, x, vi):
     return beta, jnp.diagonal(a_inv)
 
 
+@partial(jax.jit, static_argnames=("n_iterations",))
+def _igwas_ml_core(g_rot, x_rot, lam, theta0s, n_iterations):
+    """Per-SNP ML variance refits with the SNP as the outcome.
+
+    IGWAS::computeGLMWithCovariance (igwas.cpp:575-720): every SNP's
+    fit is an embedded ML REML with V = t1*K + t2*I — the variances are
+    FIT per SNP, not fixed.  In the covariance eigenbasis the fits are
+    diagonal; all M run as one vmapped Fisher-scoring kernel, each from
+    its own initial-h2-scaled start (theta0s: (M, 2))."""
+    from dissect_tpu.gwas.mlm import _ml_fit_diagonal
+
+    def one(y_rot, theta0):
+        return _ml_fit_diagonal(lam, y_rot, x_rot, theta0, n_iterations)
+
+    return jax.vmap(one)(g_rot, theta0s)
+
+
 def igwas(
     genotypes,
     snp_names: Sequence[str],
     x,
     covariate_names: Sequence[str],
     v_inv=None,
+    covariance=None,
+    initial_h2: float = 0.5,
+    n_iterations: int = 15,
     dtype=None,
 ) -> IGwasResults:
     """Batched inverse GWAS.
 
     genotypes: (M, n) outcome rows (standardized dosages); x: (n, c)
-    tested covariates incl. mean column; v_inv: optional (n, n) GRM
-    covariance inverse for the mixed-model-corrected variant.
+    tested covariates incl. mean column.  `covariance` = (eigenvalues,
+    eigenvectors) of the GRM/combined kernel enables the reference's
+    per-SNP ML refits (igwas.cpp:575-720); `v_inv` is a fixed-V GLS
+    fast-path extension (EMMAX-style, no per-SNP variance refit).
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     g = jnp.asarray(genotypes, dtype=dtype)
     xm = jnp.asarray(x, dtype=dtype)
     n, c = xm.shape
-    if v_inv is None:
+    if covariance is not None:
+        lam, u = covariance
+        uj = jnp.asarray(u, dtype=dtype)
+        g_rot = g @ uj
+        x_rot = uj.T @ xm
+        # per-SNP initial variances: h2 * var(snp) genetic, rest
+        # residual (reml.prepare's OLS-variance seeding applied to the
+        # SNP outcome, reml.cpp:1100-1131)
+        g_np = np.asarray(genotypes, dtype=np.float64)
+        snp_var = g_np.var(axis=1, ddof=1)
+        theta0s = np.column_stack(
+            [initial_h2 * snp_var, (1.0 - initial_h2) * snp_var]
+        )
+        beta, a_inv_diag, thetas, logl, grad_norm = _igwas_ml_core(
+            g_rot,
+            x_rot,
+            jnp.asarray(lam, dtype=dtype),
+            jnp.asarray(theta0s, dtype=dtype),
+            n_iterations,
+        )
+        beta = np.asarray(beta)
+        se = np.sqrt(np.maximum(np.asarray(a_inv_diag), 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = (beta / se) ** 2
+        p = chi2_sf(1, chi2)
+        model = "MLM-ML"
+    elif v_inv is None:
         beta, sse, a_inv_diag = _igwas_ols_core(g, xm)
         beta = np.asarray(beta)
         mse = np.asarray(sse)[:, None] / (n - c)
