@@ -26,14 +26,24 @@ class PCA:
     individual_keys: List[str]
     eigenvalues: np.ndarray  # (k,) descending
     eigenvectors: np.ndarray  # (n, k) columns matching eigenvalues
+    # the FULL spectrum, descending, when a full solve ran (the
+    # reference always has it — pdsyev is full; None for randomized
+    # top-k / pre-diagonalized kernels)
+    all_eigenvalues: "np.ndarray | None" = None
 
     def write(self, prefix: str, precision: int = 8):
-        """Write .pca.eigenvalues / .pca.eigenvectors (pca.cpp:78-101)."""
+        """Write .pca.eigenvalues / .pca.eigenvectors, matching the
+        reference's formats exactly (pca.cpp:85-101): eigenvalues one
+        per line, descending, no header — ALL of them when the full
+        spectrum was computed; eigenvectors as 'FID IID v1 v2 ...'."""
+        evals = (
+            self.all_eigenvalues
+            if self.all_eigenvalues is not None
+            else self.eigenvalues
+        )
         with open(prefix + ".pca.eigenvalues", "w") as fh:
-            total = self.eigenvalues.sum()
-            fh.write("EIGENVALUE VARIANCE_EXPLAINED\n")
-            for w in self.eigenvalues:
-                fh.write(f"{w:.{precision}g} {w / total:.{precision}g}\n")
+            for w in evals:
+                fh.write(f"{w:.{precision}g}\n")
         with open(prefix + ".pca.eigenvectors", "w") as fh:
             for i, key in enumerate(self.individual_keys):
                 fid, iid = key.split("@", 1)
@@ -62,11 +72,12 @@ def compute_pca(
     if kernel.diagonalized:
         w = np.asarray(kernel.eigenvalues)
         v = np.asarray(kernel.eigenvectors)
-        order = np.argsort(w)[::-1][:k]
+        order = np.argsort(w)[::-1]
         return PCA(
             individual_keys=list(kernel.individual_keys),
-            eigenvalues=w[order],
-            eigenvectors=v[:, order],
+            eigenvalues=w[order[:k]],
+            eigenvectors=v[:, order[:k]],
+            all_eigenvalues=w[order],
         )
     if randomized is None:
         randomized = k * 8 < n
@@ -83,8 +94,11 @@ def compute_pca(
         w, v = distributed_eigh(kernel.dense(), mesh=mesh)
     else:
         w, v = eigh_full(kernel.dense())
-    w = np.asarray(w)[::-1][:k]
+    w_all = np.asarray(w)[::-1]
     v = np.asarray(v)[:, ::-1][:, :k]
     return PCA(
-        individual_keys=list(kernel.individual_keys), eigenvalues=w, eigenvectors=v
+        individual_keys=list(kernel.individual_keys),
+        eigenvalues=w_all[:k],
+        eigenvectors=v,
+        all_eigenvalues=w_all,
     )

@@ -65,8 +65,11 @@ class TestWorkflows:
         out = str(cohort["tmp"] / "pca")
         run_cli(["--pca", "--bfile", cohort["bfile"], "--num-eval", "5", "--out", out])
         lines = (cohort["tmp"] / "pca.pca.eigenvalues").read_text().splitlines()
-        assert len(lines) == 6
-        vals = [float(l.split()[0]) for l in lines[1:]]
+        # reference format (pca.cpp:85-90): every eigenvalue, one per
+        # line, descending, no header — here the randomized path keeps
+        # the top 5 only
+        vals = [float(l.split()[0]) for l in lines]
+        assert len(vals) >= 5
         assert vals == sorted(vals, reverse=True)
 
     def test_gwas_ols(self, cohort):

@@ -120,8 +120,8 @@ def test_cli_pca_distributed_equals_single(cohort):
           "--out", f"{tmp}/ps", "--mesh", "none"])
     _run(["--pca", "--grm", f"{tmp}/g", "--num-eval", "5",
           "--out", f"{tmp}/pd"] + DIST)
-    w1 = np.loadtxt(f"{tmp}/ps.pca.eigenvalues", skiprows=1)
-    w8 = np.loadtxt(f"{tmp}/pd.pca.eigenvalues", skiprows=1)
+    w1 = np.loadtxt(f"{tmp}/ps.pca.eigenvalues")
+    w8 = np.loadtxt(f"{tmp}/pd.pca.eigenvalues")
     np.testing.assert_allclose(w8, w1, rtol=1e-6, atol=1e-8)
 
 

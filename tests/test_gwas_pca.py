@@ -169,7 +169,9 @@ class TestPca:
         assert len(lines) == n
         assert lines[0].split()[:2] == ["F0", "I0"]
         ev = (tmp_path / "out.pca.eigenvalues").read_text().splitlines()
-        assert len(ev) == 4  # header + 3
+        assert len(ev) == n  # full spectrum, no header (pca.cpp:85-90)
+        vals = [float(l) for l in ev]
+        assert vals == sorted(vals, reverse=True)
 
 
 class TestChunkedGwas:
