@@ -46,10 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dissect_tpu.linalg.distributed import (
-    distributed_cholesky,
-    distributed_triangular_solve,
-)
+from dissect_tpu.linalg.distributed import spd_solve_cyclic
 
 
 def qdwh_coefficients(l0: float, max_iter: int = 12):
@@ -107,13 +104,8 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
             return jax.lax.linalg.triangular_solve(
                 chol, y, left_side=True, lower=True, transpose_a=True
             )
-        l, _ = distributed_cholesky(z, mesh, axis, block)
-        y = distributed_triangular_solve(l, rhs, mesh, axis, block)
-        lt_flipped = jnp.flip(l.T, (0, 1))
-        out = distributed_triangular_solve(
-            lt_flipped, jnp.flip(y, 0), mesh, axis, block
-        )
-        return jnp.flip(out, 0)
+        out, _ = spd_solve_cyclic(z, rhs, mesh, axis, block)
+        return out
 
     def step(x, abc):
         a, b, c = abc[0], abc[1], abc[2]
@@ -174,29 +166,39 @@ def matrix_sign(
     return u[:n, :n]
 
 
-@jax.jit
-def _cholqr2(y):
+@partial(jax.jit, static_argnames=("spec",))
+def _cholqr2(y, spec=None):
     """Orthonormalize columns of y via two rounds of Cholesky-QR.
 
     Matmul-rich TSQR replacement: Gram + small Cholesky + triangular
     solve, repeated to recover orthogonality lost to squaring the
-    condition number."""
+    condition number.  With `spec` the tall operand stays row-sharded;
+    the (k, k) Gram and factor replicate (XLA psums the contraction)."""
     for _ in range(2):
         gram = y.T @ y
         r = jnp.linalg.cholesky(gram)
         y = jax.lax.linalg.triangular_solve(
             r, y, left_side=False, lower=True, transpose_a=True
         )
+        if spec is not None:
+            y = jax.lax.with_sharding_constraint(y, spec)
     return y
 
 
-def _subspace_basis(proj, k, rng):
-    """Orthonormal basis (n, k) of the range of a rank-k projector."""
+def _subspace_basis(proj, k, rng, spec=None):
+    """Orthonormal basis (n, k) of the range of a rank-k projector.
+
+    Randomized range finding: proj is row-sharded (it came out of the
+    sharded sign iteration), the Gaussian probe replicates (n x k is
+    small), and the product + CholeskyQR2 stay sharded on the n axis."""
     n = proj.shape[0]
     g = jnp.asarray(
         rng.standard_normal((n, k)), dtype=proj.dtype
     )
-    return _cholqr2(proj @ g)
+    y = proj @ g
+    if spec is not None:
+        y = jax.lax.with_sharding_constraint(y, spec)
+    return _cholqr2(y, spec)
 
 
 def distributed_eigh(
@@ -208,20 +210,50 @@ def distributed_eigh(
     l0: float = 1e-6,
     seed: int = 0,
     max_depth: int = 32,
+    allow_local_fallback: bool = False,
 ):
     """Full eigendecomposition (w ascending, V) via spectral D&C.
 
-    All O(N^3) work is sharded matmuls / blocked Cholesky when `mesh`
-    is given; subproblems of size <= base_size use local jnp eigh.
+    All O(N^3) work is sharded when `mesh` is given — the sign
+    iterations, the projector range finding + CholeskyQR2, and the
+    Rayleigh quotients all carry row-sharding constraints; subproblems
+    of size <= base_size use local jnp eigh.  A failed spectral split
+    above base_size raises (at beyond-HBM N a silent local eigh would
+    OOM, and the reference aborts on pdsyev failure,
+    matrix.cpp:3327-3380) unless `allow_local_fallback` opts back in.
     """
     a = jnp.asarray(a)
     rng = np.random.default_rng(seed)
     n = a.shape[0]
+    spec = NamedSharding(mesh, P(axis, None)) if mesh is not None else None
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+
+    def constrain(x):
+        """Row-shard eagerly when the row count divides the mesh
+        (eager resharding rejects uneven dims; jitted interiors still
+        shard unevenly fine)."""
+        if spec is not None and x.shape[0] % n_dev == 0:
+            return jax.lax.with_sharding_constraint(x, spec)
+        return x
+
+    def local_or_raise(a_sub, depth, reason):
+        m = a_sub.shape[0]
+        if mesh is None or allow_local_fallback:
+            return jnp.linalg.eigh(a_sub)
+        raise RuntimeError(
+            f"distributed_eigh: no valid spectral split for a {m} x {m} "
+            f"subproblem at depth {depth} ({reason}); a local eigh at "
+            "this size could exhaust one device's memory.  Retry with a "
+            "larger base_size, float64, or allow_local_fallback=True."
+        )
 
     def rec(a_sub, depth):
         m = a_sub.shape[0]
-        if m <= base_size or depth >= max_depth:
+        if m <= base_size:
             return jnp.linalg.eigh(a_sub)
+        if depth >= max_depth:
+            return local_or_raise(a_sub, depth, "max recursion depth")
+        a_sub = constrain(a_sub)
         # Candidate split points.  The median of the diagonal is the
         # QDWH-eig default; clustered spectra (e.g. a low-rank GRM plus
         # a ridge puts many eigenvalues at exactly the ridge value) can
@@ -258,18 +290,22 @@ def distributed_eigh(
             split = (u, k)
             break
         if split is None:
-            return jnp.linalg.eigh(a_sub)
+            return local_or_raise(a_sub, depth, "all shift candidates failed")
         u, k = split
-        q1 = _subspace_basis(0.5 * (eye - u), k, rng)
-        q2 = _subspace_basis(0.5 * (eye + u), m - k, rng)
+        # projector range finding + Rayleigh quotients stay row-sharded;
+        # the (k, k) quotients replicate only below base_size (they are
+        # the next recursion's operands)
+        basis_spec = spec if m % n_dev == 0 else None
+        q1 = _subspace_basis(0.5 * (eye - u), k, rng, basis_spec)
+        q2 = _subspace_basis(0.5 * (eye + u), m - k, rng, basis_spec)
         a1 = q1.T @ (a_sub @ q1)
         a2 = q2.T @ (a_sub @ q2)
-        a1 = 0.5 * (a1 + a1.T)
-        a2 = 0.5 * (a2 + a2.T)
+        a1 = constrain(0.5 * (a1 + a1.T))
+        a2 = constrain(0.5 * (a2 + a2.T))
         if not (
             bool(jnp.all(jnp.isfinite(a1))) and bool(jnp.all(jnp.isfinite(a2)))
         ):
-            return jnp.linalg.eigh(a_sub)
+            return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
         w1, v1 = rec(a1, depth + 1)
         w2, v2 = rec(a2, depth + 1)
         w = jnp.concatenate([w1, w2])

@@ -18,11 +18,18 @@ shard_map with a fori_loop over column blocks:
      submatrix update is a local (n_loc, b) @ (b, N) GEMM — the MXU does
      all the O(N^3) work; per-step comm is one N*b all-gather.
 
-Contiguous row sharding trades ~2x tail imbalance for simplicity vs
-ScaLAPACK's 2D block-cyclic layout; interleaved (cyclic) block
-assignment is a planned refinement.  Log-det accumulates from the
-diagonal factors.  `distributed_triangular_solve` implements the
-matching blocked forward substitution (psum-broadcast of each X_k).
+The kernel itself uses contiguous row shards; LOAD BALANCE comes from
+the block-CYCLIC symmetric permutation applied by the spd helpers
+below (`cyclic_block_permutation`): factoring P A P^T, where shard d
+holds row blocks d, d+D, 2D+d, ..., keeps every device busy through
+the whole factorization — the reference's 64x64 block-cyclic BLACS
+layout (communicator.cpp:82-96) — instead of devices with early rows
+idling once their panel is done (~2x tail loss).  log|A| is invariant
+under the symmetric permutation, and solves/inverses are returned in
+ORIGINAL coordinates (A^-1 = W^T W with W = L~^-1 P).  Log-det
+accumulates from the diagonal factors.  `distributed_triangular_solve`
+implements the matching blocked forward substitution (psum-broadcast
+of each X_k).
 """
 
 from __future__ import annotations
@@ -189,6 +196,61 @@ def distributed_triangular_solve(
         jax.lax.with_sharding_constraint(l, spec),
         jax.lax.with_sharding_constraint(b, spec),
     )
+
+
+def cyclic_block_permutation(n: int, n_dev: int, block: int) -> np.ndarray:
+    """Row permutation p with A_cyc[i, j] = A[p[i], p[j]]: contiguous
+    shard d of the permuted matrix holds the ORIGINAL row blocks
+    d, d+D, d+2D, ... — ScaLAPACK's block-cyclic assignment
+    (communicator.cpp:82-96) expressed as a symmetric permutation, so
+    the contiguous-shard kernels above get balanced trailing updates.
+
+    Requires n divisible by n_dev*block (the factorization quantum)."""
+    nb = n // block
+    if n % block or nb % n_dev:
+        raise ValueError(
+            f"N={n} must be divisible by devices*block={n_dev * block}"
+        )
+    order = np.concatenate([np.arange(d, nb, n_dev) for d in range(n_dev)])
+    return (
+        order[:, None] * block + np.arange(block)[None, :]
+    ).reshape(-1)
+
+
+def spd_inverse_logdet_cyclic(v, mesh: Mesh, axis: str = "i", block: int = 256):
+    """A^{-1} (in ORIGINAL coordinates) + log|A| via the block-cyclic
+    blocked Cholesky: factor P A P^T, solve L~ W = P, return W^T W.
+
+    Trace-time host work only depends on static shapes, so this is
+    safe inside jit.  The pdpotrf_+pdpotri_ replacement
+    (matrix.cpp:3080-3153) with the reference's balanced layout."""
+    n = v.shape[0]
+    perm = cyclic_block_permutation(n, mesh.shape[axis], block)
+    vp = v[perm][:, perm]
+    l, logdet = distributed_cholesky(vp, mesh, axis, block)
+    row_spec = NamedSharding(mesh, P(axis, None))
+    p_mat = jax.lax.with_sharding_constraint(
+        jnp.eye(n, dtype=v.dtype)[perm], row_spec
+    )
+    w = distributed_triangular_solve(l, p_mat, mesh, axis, block)  # L~^-1 P
+    vi = jax.lax.with_sharding_constraint(w.T @ w, row_spec)
+    return vi, logdet
+
+
+def spd_solve_cyclic(a, b, mesh: Mesh, axis: str = "i", block: int = 256):
+    """A^{-1} B (original coordinates) + logdet via the block-cyclic
+    factorization and two blocked triangular solves."""
+    n = a.shape[0]
+    perm = cyclic_block_permutation(n, mesh.shape[axis], block)
+    inv_perm = np.argsort(perm)
+    ap = a[perm][:, perm]
+    l, logdet = distributed_cholesky(ap, mesh, axis, block)
+    y = distributed_triangular_solve(l, b[perm], mesh, axis, block)
+    lt_flipped = jnp.flip(l.T, (0, 1))
+    x = distributed_triangular_solve(
+        lt_flipped, jnp.flip(y, 0), mesh, axis, block
+    )
+    return jnp.flip(x, 0)[inv_perm], logdet
 
 
 def distributed_spd_solve(a, b, mesh: Mesh, axis: str = "i", block: int = 256):

@@ -41,10 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dissect_tpu.linalg.distributed import (
-    distributed_cholesky,
-    distributed_triangular_solve,
-)
+from dissect_tpu.linalg.distributed import spd_inverse_logdet_cyclic
 from dissect_tpu.model.covariance import CovarianceModel
 from dissect_tpu.reml.engine import REMLEngine, REMLOptions
 
@@ -78,12 +75,9 @@ def _distributed_dense_quantities(
 
     v = cc.assemble_dense(theta) + jnp.diag(pad_diag.astype(theta.dtype))
     v = jax.lax.with_sharding_constraint(v, row_spec)
-    l, logdet_v = distributed_cholesky(v, mesh, "i", block)
-    eye = jax.lax.with_sharding_constraint(
-        jnp.eye(v.shape[0], dtype=v.dtype), row_spec
-    )
-    w = distributed_triangular_solve(l, eye, mesh, "i", block)  # L^-1
-    vi = jax.lax.with_sharding_constraint(w.T @ w, row_spec)
+    # block-CYCLIC factorization: balanced trailing updates, the
+    # reference's BLACS layout (communicator.cpp:82-96)
+    vi, logdet_v = spd_inverse_logdet_cyclic(v, mesh, "i", block)
 
     vix = vi @ x
     xtvix = x.T @ vix
