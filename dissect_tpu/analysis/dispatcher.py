@@ -316,35 +316,47 @@ class Analysis:
         with timers.phase("ComputeGRM"):
             kern = self.load_grm()
         ctx = use_distributed(self.args, kern.n)
+        # to_host() is COLLECTIVE on multi-host sharded arrays
+        # (process_allgather): every process must call it, only root
+        # writes the files (the MPI_File_write_at_all discipline of
+        # communicator.cpp:565-628 with a root-streamed fallback).
         if self.args.diagonalize:
             with timers.phase("DiagonalizeGRM"):
                 diag = kern.diagonalize(mesh=ctx.flat if ctx else None)
+            evals = to_host(diag.eigenvalues).astype(np.float64)
+            evecs = to_host(diag.eigenvectors).astype(np.float64)
             if is_root():
                 grm_io.write_grm_diagonalized(
                     self.args.out,
-                    to_host(diag.eigenvalues).astype(np.float64),
-                    to_host(diag.eigenvectors).astype(np.float64),
+                    evals,
+                    evecs,
                     diag.individual_keys,
                     diag.snp_names,
                 )
-            if self.args.store_both and is_root():
+            if self.args.store_both:
                 # --store-both: also keep the undecomposed GRM
                 # (options.cpp:511-515)
+                k_host = to_host(kern.matrix).astype(np.float64)
+                c_host = to_host(kern.counts).astype(np.float64)
+                if is_root():
+                    grm_io.write_grm(
+                        self.args.out + ".nondiagonal",
+                        k_host,
+                        c_host,
+                        kern.individual_keys,
+                        kern.snp_names,
+                    )
+        else:
+            k_host = to_host(kern.matrix).astype(np.float64)
+            c_host = to_host(kern.counts).astype(np.float64)
+            if is_root():
                 grm_io.write_grm(
-                    self.args.out + ".nondiagonal",
-                    to_host(kern.matrix).astype(np.float64),
-                    to_host(kern.counts).astype(np.float64),
+                    self.args.out,
+                    k_host,
+                    c_host,
                     kern.individual_keys,
                     kern.snp_names,
                 )
-        elif is_root():
-            grm_io.write_grm(
-                self.args.out,
-                to_host(kern.matrix).astype(np.float64),
-                to_host(kern.counts).astype(np.float64),
-                kern.individual_keys,
-                kern.snp_names,
-            )
         self.log.message(f"GRM stored at [ {self.args.out}.grm.* ]")
 
     def make_pca(self):

@@ -160,7 +160,9 @@ class Kernel:
         exceeds `cutoff` (pruneKernel/searchNoHighRelatedIndividuals,
         kernel.cpp:1974-2038): repeatedly remove the individual involved
         in the most over-threshold pairs."""
-        k = np.asarray(self.dense())
+        from dissect_tpu.runtime.distributed_io import to_host
+
+        k = to_host(self.dense())
         n = k.shape[0]
         over = (np.abs(np.triu(k, 1)) > cutoff)
         keep = np.ones(n, dtype=bool)
@@ -180,7 +182,9 @@ class Kernel:
         with any pair overlapping fewer than ratio * max(N) are pruned."""
         if self.counts is None:
             return self
-        c = np.asarray(self.counts)
+        from dissect_tpu.runtime.distributed_io import to_host
+
+        c = to_host(self.counts)
         threshold = c.max() * min_overlap_ratio
         bad_pairs = c < threshold
         keep = np.ones(self.n, dtype=bool)

@@ -19,6 +19,7 @@ import numpy as np
 
 from dissect_tpu.linalg.eigen import eigh_full, eigh_topk
 from dissect_tpu.model.kernels import Kernel
+from dissect_tpu.runtime.distributed_io import to_host
 
 
 @dataclasses.dataclass
@@ -70,8 +71,8 @@ def compute_pca(
     n = kernel.n
     k = min(n_components, n)
     if kernel.diagonalized:
-        w = np.asarray(kernel.eigenvalues)
-        v = np.asarray(kernel.eigenvectors)
+        w = to_host(kernel.eigenvalues)
+        v = to_host(kernel.eigenvectors)
         order = np.argsort(w)[::-1]
         return PCA(
             individual_keys=list(kernel.individual_keys),
@@ -85,8 +86,8 @@ def compute_pca(
         w, v = eigh_topk(kernel.dense(), k=k)
         return PCA(
             individual_keys=list(kernel.individual_keys),
-            eigenvalues=np.asarray(w),
-            eigenvectors=np.asarray(v),
+            eigenvalues=to_host(w),
+            eigenvectors=to_host(v),
         )
     if mesh is not None:
         from dissect_tpu.linalg.dc_eigen import distributed_eigh
@@ -94,8 +95,10 @@ def compute_pca(
         w, v = distributed_eigh(kernel.dense(), mesh=mesh)
     else:
         w, v = eigh_full(kernel.dense())
-    w_all = np.asarray(w)[::-1]
-    v = np.asarray(v)[:, ::-1][:, :k]
+    # to_host is collective on multi-host sharded eigenvectors: every
+    # process reassembles, only the dispatcher's root writes files.
+    w_all = to_host(w)[::-1]
+    v = to_host(v)[:, ::-1][:, :k]
     return PCA(
         individual_keys=list(kernel.individual_keys),
         eigenvalues=w_all[:k],

@@ -1,0 +1,88 @@
+"""One process of a 2-process CPU multi-host simulation.
+
+Launched by tests/test_multiprocess.py: each worker owns 4 virtual CPU
+devices (8 global), initializes jax.distributed against a shared local
+coordinator, and runs
+
+  1. a global_sharded_array round trip (the
+     make_array_from_process_local_data branch that single-process runs
+     never reach; parity: the per-process BED segment reads + collective
+     assembly of genotype.cpp:639-707);
+  2. the PRODUCTION CLI --make-grm with --force-distributed, which
+     streams the per-host SNP-row shards through
+     _stream_grm_multiprocess and writes the .grm.* artifact from the
+     root process only (communicator.cpp:565-628's MPI-IO analog).
+
+Usage: multiproc_worker.py <process_index> <coordinator> <bfile> <out>
+"""
+
+import os
+import sys
+
+
+def main():
+    idx, coordinator, bfile, out = (
+        int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=2, process_id=idx
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dissect_tpu.runtime.distributed_io import (
+        global_sharded_array,
+        snp_shard_bounds,
+        to_host,
+    )
+    from dissect_tpu.runtime.mesh import MeshContext
+
+    # --- 1. global_sharded_array round trip ------------------------------
+    ctx = MeshContext.create()
+    m, n = 16, 24
+    full = np.arange(m * n, dtype=np.float64).reshape(m, n)
+    # per-host contiguous row shard (snp_shard_bounds semantics); the
+    # mesh 'i' axis is the leading (process-major) device axis, so the
+    # host's local rows are its contiguous slice
+    i_size = ctx.mesh.shape["i"]
+    assert m % i_size == 0
+    rows_per_i = m // i_size
+    # addressable 'i' coordinates of this process
+    local_rows = []
+    for di in range(i_size):
+        row_devices = ctx.mesh.devices[di]
+        if any(d.process_index == idx for d in np.ravel(row_devices)):
+            local_rows.append(full[di * rows_per_i : (di + 1) * rows_per_i])
+    local = np.concatenate(local_rows) if local_rows else np.empty((0, n))
+    arr = global_sharded_array(local, (m, n), ctx, P("i", None))
+    back = to_host(arr)
+    np.testing.assert_array_equal(back, full)
+
+    lo, hi = snp_shard_bounds(100)
+    assert (lo, hi) == ((0, 50) if idx == 0 else (50, 100))
+
+    # --- 2. the production CLI, distributed GRM --------------------------
+    from dissect_tpu.analysis.dispatcher import main as cli_main
+
+    cli_main(
+        ["--make-grm", "--bfile", bfile, "--out", out,
+         "--mesh", "auto", "--force-distributed"]
+    )
+    print(f"WORKER_{idx}_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
