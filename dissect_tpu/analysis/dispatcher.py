@@ -82,6 +82,8 @@ def _chunked_gwas(fn, z, chunk: int = 65536):
     )
     if first.converged is not None:
         out.converged = cat("converged")
+    if first.group_p is not None:
+        out.group_p = cat("group_p")
     return out
 
 
@@ -739,7 +741,7 @@ class Analysis:
         else:
             res = _chunked_gwas(lambda zc: ols_gwas(zc, y, x), z)
 
-        self._write_gwas(res, data, covar, common)
+        self._write_gwas(res, data, covar, common, z=z)
         return res
 
     def _gwas_covariance(self, kernels: List[Kernel], common, pheno, covar):
@@ -873,7 +875,7 @@ class Analysis:
         c = x.shape[1]
         with result_open(a.out + ".multi.gwas.snps") as fh:
             fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV GROUPPV"
-                     + (" GROUPVAR\n" if a.group_effects else "\n"))
+                     + (" GROUPVAR\n" if a.group_var else "\n"))
             for group, res in results.items():
                 for j, nm in enumerate(res.snp_names):
                     snp = name_to_snp[nm]
@@ -885,7 +887,7 @@ class Analysis:
                         f"{res.se[c + j]:.8g} {res.p[c + j]:.6g} "
                         f"{res.f_p_value:.6g}"
                     )
-                    if a.group_effects:
+                    if a.group_var:
                         line += f" {res.group_variance:.6g}"
                     fh.write(line + "\n")
         if effects is not None:
@@ -903,9 +905,17 @@ class Analysis:
         )
         return results
 
-    def _write_gwas(self, res, data: PlinkData, covar, common):
+    def _write_gwas(self, res, data: PlinkData, covar, common, z=None):
         """Write .gwas.snps / .gwas.mean / .gwas.discrete /
-        .gwas.quantitative (storeResults, gwas.cpp:1036-1154)."""
+        .gwas.quantitative (storeResults, gwas.cpp:1036-1154).
+
+        In the reference's single-SNP GWAS every SNP is its own "group"
+        keyed by SNP name in a std::map (gwas.cpp:532-535): rows come
+        out in LEXICOGRAPHIC SNP-name order, the GROUP column is the
+        SNP name, the per-kind covariate files carry that SNP's own
+        covariate estimates, and GROUPPV (the fit-vs-reduced F/LRT,
+        gwas.cpp:916-967) is always present.  Unfitted SNPs never enter
+        the map, so they appear only in .gwas.unfitted."""
         a = self.args
         stats = data.stats()
         x_names = covar.filter_individuals(common).column_names
@@ -917,26 +927,54 @@ class Analysis:
                 kinds["quantitative"].append((name, i))
             else:
                 kinds["mean"].append((name, i))
+        fitted = (
+            res.converged
+            if res.converged is not None
+            else np.ones(len(data.snps), dtype=bool)
+        )
+        # std::map iteration = SNP names sorted lexicographically
+        order = sorted(
+            (i for i in range(len(data.snps)) if fitted[i]),
+            key=lambda i: data.snps[i].name,
+        )
         for kind, entries in kinds.items():
             with result_open(f"{a.out}.gwas.{kind}") as fh:
                 fh.write("GROUP NAME BETA SE PV\n")
-                for name, i in entries:
-                    # covariate estimates from the last SNP fit, as the
-                    # reference reports the group's final covariate rows
-                    fh.write(
-                        f"1 {name} {res.cov_beta[-1, i]:.8g} "
-                        f"{res.cov_se[-1, i]:.8g} {res.cov_p[-1, i]:.6g}\n"
-                    )
+                for i in order:
+                    group = data.snps[i].name
+                    for name, j in entries:
+                        fh.write(
+                            f"{group} {name} {res.cov_beta[i, j]:.8g} "
+                            f"{res.cov_se[i, j]:.8g} {res.cov_p[i, j]:.6g}\n"
+                        )
+        group_p = (
+            res.group_p if res.group_p is not None else res.snp_p
+        )
+        group_var = None
+        if a.group_var and z is not None:
+            # GROUPVAR (computeGroupVariance, gwas.cpp:970-1034): the
+            # variance over individuals of this SNP's fitted effect
+            # g*beta (ddof=1, computeVariance auxiliar.cpp:410-465)
+            group_var = res.snp_beta**2 * np.var(np.asarray(z), axis=1, ddof=1)
         significant = []
         with result_open(a.out + ".gwas.snps") as fh:
-            fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV\n")
-            for i, snp in enumerate(data.snps):
-                fh.write(
-                    f"1 {snp.name} {snp.allele2} {stats.mean[i]:.3g} "
+            fh.write(
+                "GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV GROUPPV"
+                + (" GROUPVAR\n" if group_var is not None else "\n")
+            )
+            for i in order:
+                snp = data.snps[i]
+                line = (
+                    f"{snp.name} {snp.name} {snp.allele2} "
+                    f"{stats.mean[i]:.3g} "
                     f"{stats.std[i]:.3g} {res.snp_beta[i]:.8g} "
                     f"{res.snp_beta[i] / stats.std[i]:.5g} "
-                    f"{res.snp_se[i]:.8g} {res.snp_p[i]:.6g}\n"
+                    f"{res.snp_se[i]:.8g} {res.snp_p[i]:.6g} "
+                    f"{group_p[i]:.6g}"
                 )
+                if group_var is not None:
+                    line += f" {group_var[i]:.6g}"
+                fh.write(line + "\n")
                 if res.snp_p[i] < a.significance_threshold:
                     significant.append(snp.name)
         # non-converged per-SNP ML fits (gwas.cpp:546-554)

@@ -91,6 +91,9 @@ def mlm_gwas_fixed_v(genotypes, y, x, v_inv, dtype=None) -> GwasResults:
         cov_p=chi2_sf(1, cov_chi2),
         df=1.0,
         model="MLM-fixedV",
+        # with V fixed the LRT of adding the SNP is exactly
+        # delta(r'V^-1 r) = b^2 d = the Wald chi2
+        group_p=snp_p,
     )
 
 
@@ -194,6 +197,13 @@ def mlm_gwas_ml_refit(
     b, a_inv_diag, thetas, logl, grad_norm = _ml_refit_core(
         g_rot, y_rot, x_rot, lam, theta0, n_iterations
     )
+    # reduced (covariate-only) ML fit for the chi2 LRT GROUPPV
+    # (computeGroupSignificance ML branch, gwas.cpp:940-961)
+    _, _, _, logl_null, _ = jax.jit(
+        _ml_fit_diagonal, static_argnames=("n_iterations",)
+    )(lam, y_rot, x_rot, theta0, n_iterations=n_iterations)
+    ratio = 2.0 * (np.asarray(logl) - float(logl_null))
+    group_p = np.where(ratio < 0.0, -1.0, chi2_sf(1, np.maximum(ratio, 0.0)))
     b = np.asarray(b)
     a_inv_diag = np.asarray(a_inv_diag)
     se = np.sqrt(a_inv_diag)
@@ -209,6 +219,7 @@ def mlm_gwas_ml_refit(
         cov_p=p[:, :-1],
         df=1.0,
         model="MLM-ML",
+        group_p=group_p,
     )
     res.converged = np.asarray(grad_norm) < 1e-2  # gradient threshold
     return res

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dissect_tpu.runtime.stats import t_sf
+from dissect_tpu.runtime.stats import f_sf, t_sf
 
 
 @dataclasses.dataclass
@@ -47,6 +47,10 @@ class GwasResults:
     df: float
     model: str = "OLS"
     converged: "np.ndarray" = None  # per-SNP fit convergence (ML refits)
+    # per-SNP GROUPPV (computeGroupSignificance, gwas.cpp:916-967):
+    # OLS F-test / mixed-model chi2 LRT of the SNP fit vs the
+    # covariate-only reduced model; -1 marks a negative LRT ratio
+    group_p: "np.ndarray" = None
 
 
 @partial(jax.jit, static_argnames=())
@@ -108,6 +112,9 @@ def ols_gwas(
     cov_beta = np.asarray(b_cov)
     cov_t = cov_beta / cov_se
     cov_p = 2.0 * t_sf(df, np.abs(cov_t))
+    # GROUPPV (gwas.cpp:919-939): SSR = b'X'y(full) - b'X'y(reduced)
+    # = b_snp^2 * d with h=1 added coefficient; F = (SSR/h)/MSE.
+    group_p = f_sf(1.0, df, snp_beta**2 * d / mse)
     return GwasResults(
         snp_beta=snp_beta,
         snp_se=snp_se,
@@ -118,4 +125,5 @@ def ols_gwas(
         cov_p=cov_p,
         df=df,
         model="OLS",
+        group_p=group_p,
     )

@@ -81,7 +81,8 @@ class TestWorkflows:
         lines = (cohort["tmp"] / "gwas.gwas.snps").read_text().splitlines()
         assert len(lines) == 301  # header + 300 SNPs
         assert lines[0].split() == [
-            "GROUP", "SNP", "ALLELE", "MEAN", "STDEV", "BETA", "NBETA", "SE", "PV",
+            "GROUP", "SNP", "ALLELE", "MEAN", "STDEV", "BETA", "NBETA",
+            "SE", "PV", "GROUPPV",
         ]
         ps = np.array([float(l.split()[8]) for l in lines[1:]])
         assert ((ps >= 0) & (ps <= 1)).all()
@@ -96,7 +97,14 @@ class TestWorkflows:
             "--out", out,
         ])
         lines = (cohort["tmp"] / "mlm.gwas.snps").read_text().splitlines()
-        assert len(lines) == 301
+        unfitted_file = cohort["tmp"] / "mlm.gwas.unfitted"
+        n_unfitted = (
+            len(unfitted_file.read_text().splitlines())
+            if unfitted_file.exists()
+            else 0
+        )
+        # unfitted SNPs never enter the results map (gwas.cpp:519-535)
+        assert len(lines) - 1 + n_unfitted == 300
 
     def test_bivar_reml(self, cohort):
         out = str(cohort["tmp"] / "bivar")

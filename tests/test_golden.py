@@ -180,8 +180,13 @@ class TestGoldenNumbersAreCorrect:
         mean = filled.sum(1) / obs.sum(1)
         rows = (GOLDEN / "golden.ols.gwas.snps").read_text().split("\n")
         header = rows[0].split()
+        # storeResults format incl. GROUPPV (gwas.cpp:1049, always
+        # written); GROUP = SNP name (map key, gwas.cpp:532-535)
         assert header == ["GROUP", "SNP", "ALLELE", "MEAN", "STDEV",
-                          "BETA", "NBETA", "SE", "PV"]
+                          "BETA", "NBETA", "SE", "PV", "GROUPPV"]
+        by_name = {r.split()[1]: r.split() for r in rows[1:] if r}
+        # rows come out in std::map (lexicographic) order
+        assert [r.split()[1] for r in rows[1:] if r] == sorted(by_name)
         for i in [0, 3, 11, 19]:
             g = np.where(obs[i], filled[i] - mean[i], 0.0)
             xg = np.column_stack([np.ones(n), g])
@@ -192,11 +197,12 @@ class TestGoldenNumbersAreCorrect:
             se = np.sqrt(mse * a_inv[1, 1])
             tstat = b[1] / se
             p = 2.0 * t_dist.sf(abs(tstat), n - 2)
-            parts = rows[1 + i].split()
-            assert parts[1] == f"snp{i}"
+            parts = by_name[f"snp{i}"]
             np.testing.assert_allclose(float(parts[5]), b[1], rtol=1e-5)
             np.testing.assert_allclose(float(parts[7]), se, rtol=1e-5)
             np.testing.assert_allclose(float(parts[8]), p, rtol=1e-3)
+            # F(1, df) of the added SNP == t^2: GROUPPV equals PV
+            np.testing.assert_allclose(float(parts[9]), p, rtol=1e-3)
 
     def test_pca_matches_numpy_eigh(self):
         from dissect_tpu.io.grm_io import read_grm

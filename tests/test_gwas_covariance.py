@@ -155,10 +155,23 @@ def test_cli_multikernel_gwas_covariance(tmp_path, rng):
     _run(["--gwas", "--grm", f"{tmp_path}/g",
           "--random-effects", str(tmp_path / "batches.txt")] + base
          + ["--out", f"{tmp_path}/multi"])
-    p_solo = np.loadtxt(f"{tmp_path}/solo.gwas.snps", skiprows=1, usecols=(8,))
-    p_multi = np.loadtxt(f"{tmp_path}/multi.gwas.snps", skiprows=1, usecols=(8,))
-    assert np.isfinite(p_multi).all()
-    assert not np.allclose(p_solo, p_multi, rtol=1e-3)
+    def p_by_name(path):
+        out = {}
+        with open(path) as fh:
+            next(fh)
+            for line in fh:
+                parts = line.split()
+                out[parts[1]] = float(parts[8])
+        return out
+
+    p_solo = p_by_name(f"{tmp_path}/solo.gwas.snps")
+    p_multi = p_by_name(f"{tmp_path}/multi.gwas.snps")
+    shared = sorted(set(p_solo) & set(p_multi))
+    assert len(shared) >= 10
+    ps = np.array([p_solo[k] for k in shared])
+    pm = np.array([p_multi[k] for k in shared])
+    assert np.isfinite(pm).all()
+    assert not np.allclose(ps, pm, rtol=1e-3)
 
     # EMMAX path vs a GLS oracle sharing the combined kernel + null fit
     _run(["--gwas", "--grm", f"{tmp_path}/g", "--gwas-use-null-variances",
@@ -188,9 +201,7 @@ def test_cli_multikernel_gwas_covariance(tmp_path, rng):
     v = (u * (vg * lam + ve)) @ u.T
     vi = np.linalg.inv(v)
     x = np.ones((n, 1))
-    p_fixedv = np.loadtxt(
-        f"{tmp_path}/fixedv.gwas.snps", skiprows=1, usecols=(8,)
-    )
+    p_fixedv = p_by_name(f"{tmp_path}/fixedv.gwas.snps")
     from dissect_tpu.runtime.stats import chi2_sf
 
     for i in [0, 7, 19]:
@@ -199,7 +210,9 @@ def test_cli_multikernel_gwas_covariance(tmp_path, rng):
         b = np.linalg.solve(a, xg.T @ vi @ y)
         se = np.sqrt(np.linalg.inv(a)[-1, -1])
         p = chi2_sf(1, (b[-1] / se) ** 2)
-        np.testing.assert_allclose(p_fixedv[i], p, rtol=2e-3, atol=1e-12)
+        np.testing.assert_allclose(
+            p_fixedv[f"snp{i}"], p, rtol=2e-3, atol=1e-12
+        )
 
 
 def test_cli_grouped_gwas_with_grm(tmp_path, rng):

@@ -200,9 +200,12 @@ class TestGroupedGwasCli:
         out = str(tmp_path / "gg")
         main([
             "--gwas", "--bfile", path, "--pheno", str(pheno),
-            "--groups", str(groups), "--group-effects", "--out", out,
+            "--groups", str(groups), "--group-effects", "--group-var",
+            "--out", out,
         ])
         lines = (tmp_path / "gg.multi.gwas.snps").read_text().splitlines()
+        # GROUPVAR column gated on --group-var (computeGroupVariance,
+        # options.cpp:853-857), not on --group-effects
         assert lines[0].split()[-2:] == ["GROUPPV", "GROUPVAR"]
         assert len(lines) == m + 1
         assert (tmp_path / "gg.effects.dat").exists()
