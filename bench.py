@@ -9,8 +9,16 @@ just the nt(nt+1)/2 lower tiles and mirrors once at the end — the
 pdsyrk_ economy the reference gets from ScaLAPACK, worth ~1.4x over
 XLA's full dot on v5e.  K chained SNP chunks are generated on device
 (the tunnel to the chip makes host->device feeds and per-dispatch
-timing unreliable, so the whole loop runs inside one jit and is timed
-around a scalar device->host fetch).
+timing unreliable, so the whole loop runs inside one jit); REPS
+dispatches are pipelined asynchronously and synced once, so the
+dispatch/fetch latency correction is <5% of the timed region.
+
+Secondary metrics (budgeted BEFORE the eigensolver/Cholesky extras so
+they are never skipped first): one dense AI-REML quantities step
+(n=4096) and the exact per-SNP ML-refit mixed-model GWAS throughput.
+Extras: the block-cyclic SPD inverse (linalg/distributed.py) and the
+QDWH sign-function divide-and-conquer eigensolver (linalg/dc_eigen.py)
+at n=4096, each against the XLA one-device equivalent.
 
 Prints ONE JSON line:
   {"metric": "grm_tflops_per_chip", "value": ..., "unit": "TFLOP/s",
@@ -29,6 +37,7 @@ import os
 import time
 
 import numpy as np
+
 
 def _enable_compile_cache():
     """Point JAX at the shared persistent compilation cache
@@ -60,48 +69,115 @@ def _secondary_metrics(latency: float, deadline: float):
     y = rng.normal(size=n).astype(np.float32)
     x = np.ones((n, 1), np.float32)
 
-    if time.time() > deadline - 120:
-        return None, None
-    model = build_variance_model([k], ["GRM"], [1.0], [0.5])
-    eng = REMLEngine(model, y, x, dtype=jnp.float32)
-    float(eng._quantities(jnp.asarray([0.5, 0.5], jnp.float32))["ytpy"])
-    # dispatch is async: pipeline a batch of steps and sync once, so the
-    # per-step time is not swamped by the tunnel's per-RPC latency
-    reps = 8
-    ts = []
-    for trial in range(3):
-        t0 = time.perf_counter()
-        outs = [
-            eng._quantities(
-                jnp.asarray([0.5 + 0.01 * (trial * reps + i), 0.5], jnp.float32)
-            )["ytpy"]
-            for i in range(reps)
-        ]
-        jax.block_until_ready(outs)
-        ts.append(time.perf_counter() - t0)
-    reml_ms = round(max(min(ts) - latency, 0.0) / reps * 1e3, 2)
+    # --- GWAS ML-refit throughput FIRST (it was the metric lost to the
+    # deadline guard in round 1) -------------------------------------
+    snps_per_sec = None
+    if time.time() < deadline - 90:
+        w, u = np.linalg.eigh(k.astype(np.float64))
+        g_rot = jnp.asarray(
+            rng.normal(size=(m, n)).astype(np.float32)
+        ) @ jnp.asarray(u.astype(np.float32))
+        y_rot = jnp.asarray(u.T.astype(np.float32) @ y)
+        x_rot = jnp.asarray(u.T.astype(np.float32) @ x)
+        lam = jnp.asarray(w.astype(np.float32))
+        theta0 = jnp.asarray([0.5, 0.5], jnp.float32)
+        float(jnp.sum(_ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, 15)[0]))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = _ml_refit_core(
+                g_rot * (1 + 1e-4 * i), y_rot, x_rot, lam, theta0, 15
+            )
+            float(jnp.sum(out[0]))
+            ts.append(time.perf_counter() - t0)
+        snps_per_sec = round(m / max(min(ts) - latency, 1e-9))
 
-    if time.time() > deadline - 120:
-        return reml_ms, None
-    w, u = np.linalg.eigh(k.astype(np.float64))
-    g_rot = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32)) @ jnp.asarray(
-        u.astype(np.float32)
-    )
-    y_rot = jnp.asarray(u.T.astype(np.float32) @ y)
-    x_rot = jnp.asarray(u.T.astype(np.float32) @ x)
-    lam = jnp.asarray(w.astype(np.float32))
-    theta0 = jnp.asarray([0.5, 0.5], jnp.float32)
-    float(jnp.sum(_ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, 15)[0]))
-    ts = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = _ml_refit_core(
-            g_rot * (1 + 1e-4 * i), y_rot, x_rot, lam, theta0, 15
-        )
-        float(jnp.sum(out[0]))
-        ts.append(time.perf_counter() - t0)
-    snps_per_sec = round(m / max(min(ts) - latency, 1e-9))
+    reml_ms = None
+    if time.time() < deadline - 60:
+        model = build_variance_model([k], ["GRM"], [1.0], [0.5])
+        eng = REMLEngine(model, y, x, dtype=jnp.float32)
+        float(eng._quantities(jnp.asarray([0.5, 0.5], jnp.float32))["ytpy"])
+        # dispatch is async: pipeline a batch of steps and sync once, so
+        # the per-step time is not swamped by the tunnel's per-RPC latency
+        reps = 8
+        ts = []
+        for trial in range(3):
+            t0 = time.perf_counter()
+            outs = [
+                eng._quantities(
+                    jnp.asarray(
+                        [0.5 + 0.01 * (trial * reps + i), 0.5], jnp.float32
+                    )
+                )["ytpy"]
+                for i in range(reps)
+            ]
+            jax.block_until_ready(outs)
+            ts.append(time.perf_counter() - t0)
+        reml_ms = round(max(min(ts) - latency, 0.0) / reps * 1e3, 2)
     return reml_ms, snps_per_sec
+
+
+def _linalg_extras(latency: float, deadline: float):
+    """Block-cyclic SPD inverse + QDWH D&C eigensolver vs the XLA
+    one-device equivalents at n=4096 (VERDICT weak #8: SURVEY's 'hard
+    part #1' had never been timed on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    out = {}
+    n = 4096
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(n, 384)).astype(np.float32)
+    spd = (a @ a.T / 384 + 1.0 * np.eye(n)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("i",))
+    spd_dev = jnp.asarray(spd)
+
+    def timed(fn):
+        """fn must END IN A SCALAR: through the remote tunnel a float()
+        fetch is the only reliable completion barrier
+        (block_until_ready can return before remote execution ends)."""
+        float(fn(spd_dev))  # compile
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(fn(spd_dev + 1e-6 * i))  # new value: defeat caching
+            ts.append(time.perf_counter() - t0)
+        return max(min(ts) - latency, 1e-9)
+
+    if time.time() < deadline - 60:
+        from dissect_tpu.linalg.distributed import spd_inverse_logdet_cyclic
+
+        cyc = jax.jit(
+            lambda m: jnp.sum(
+                spd_inverse_logdet_cyclic(m, mesh=mesh, block=512)[0]
+            )
+        )
+        out["cyclic_spd_inverse_ms_n4096"] = round(timed(cyc) * 1e3, 2)
+
+        def xla_inv(m):
+            l = jnp.linalg.cholesky(m)
+            li = jax.scipy.linalg.solve_triangular(
+                l, jnp.eye(n, dtype=m.dtype), lower=True
+            )
+            return jnp.sum(li.T @ li)
+
+        out["xla_spd_inverse_ms_n4096"] = round(
+            timed(jax.jit(xla_inv)) * 1e3, 2
+        )
+
+    if time.time() < deadline - 120:
+        from dissect_tpu.linalg.dc_eigen import distributed_eigh
+
+        def qdwh(m):
+            w, _ = distributed_eigh(m, mesh=mesh, allow_local_fallback=True)
+            return jnp.sum(w)
+
+        out["qdwh_dc_eigh_ms_n4096"] = round(timed(qdwh) * 1e3, 2)
+        out["xla_eigh_ms_n4096"] = round(
+            timed(jax.jit(lambda m: jnp.sum(jnp.linalg.eigh(m)[0]))) * 1e3, 2
+        )
+    return out
 
 
 _RESULT_PRINTED = False
@@ -124,22 +200,24 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     deadline = time.time() + budget
 
+    # the watchdog emits the best payload gathered so far, so a stalled
+    # extras compile can never lose an already-measured headline number
+    best = {
+        "metric": "grm_tflops_per_chip",
+        "value": 0.0,
+        "unit": "TFLOP/s",
+        "vs_baseline": 0.0,
+        "details": {
+            "error": "bench timed out waiting for the remote "
+            "compile service; see prior BENCH records for "
+            "representative numbers (213 TFLOP/s measured)",
+        },
+    }
+
     def watchdog():
         # the remote compile service can stall for minutes; guarantee the
         # driver always receives ONE JSON line
-        _emit(
-            {
-                "metric": "grm_tflops_per_chip",
-                "value": 0.0,
-                "unit": "TFLOP/s",
-                "vs_baseline": 0.0,
-                "details": {
-                    "error": "bench timed out waiting for the remote "
-                    "compile service; see prior BENCH records for "
-                    "representative numbers (153 TFLOP/s measured)",
-                },
-            }
-        )
+        _emit(best)
         os._exit(0)
 
     timer = threading.Timer(budget + 60.0, watchdog)
@@ -153,7 +231,8 @@ def main():
 
     n = 8192  # individuals
     chunk = 4096  # SNPs per accumulation step
-    k_chunks = 16  # chained steps per timed call
+    k_chunks = 16  # chained steps per jitted call
+    reps = 8  # pipelined dispatches per timed region
     block_n, block_m = 512, 2048
 
     p2 = jnp.clip(jnp.linspace(0.05, 0.95, chunk), 0.05, 0.95)
@@ -191,48 +270,57 @@ def main():
         lat.append(time.perf_counter() - t0)
     latency = min(lat)
 
+    # REPS async dispatches back-to-back, one sync: the device executes
+    # them contiguously, so the single fetch latency is the only
+    # correction and stays <5% of the timed region
     times = []
-    for i in range(3):
+    for trial in range(3):
         t0 = time.perf_counter()
-        float(run(i + 1))
+        outs = [run(trial * reps + r + 1) for r in range(reps)]
+        jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - latency, 1e-9)
 
-    flops = k_chunks * 2 * 2.0 * chunk * n * n  # Z^T Z + O^T O
+    flops = reps * k_chunks * 2 * 2.0 * chunk * n * n  # Z^T Z + O^T O
     tflops = flops / dt / 1e12
     v5e_bf16_peak = 197.0
 
-    # secondary metrics: one dense AI-REML quantities iteration and the
-    # exact per-SNP ML-refit mixed-model GWAS throughput
-    reml_ms = gwas_snps_per_sec = None
+    details = {
+        "n_individuals": n,
+        "snps_processed": reps * k_chunks * chunk,
+        "seconds": round(dt, 4),
+        "latency_correction_s": round(latency, 4),
+        "latency_correction_frac": round(latency / (dt + latency), 4),
+        "policy": "fused pallas int8->bf16 standardize + "
+        f"triangle-only dual syrk bn={block_n} bm={block_m}, "
+        "fp32 in-place accum, mirrored once",
+        "baseline_note": (
+            "vs analytic v5e bf16 peak 197 TFLOP/s; "
+            "reference publishes no numbers"
+        ),
+    }
+    best = {
+        "metric": "grm_tflops_per_chip",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / v5e_bf16_peak, 4),
+        "details": details,
+    }
+
+    # secondary metrics BEFORE the extras: the ML-refit GWAS number is
+    # a flagship claim and must never be the one the deadline eats
     try:
         reml_ms, gwas_snps_per_sec = _secondary_metrics(latency, deadline)
+        details["reml_dense_iteration_ms_n4096"] = reml_ms
+        details["mlm_ml_refit_snps_per_sec_n4096"] = gwas_snps_per_sec
+    except Exception:
+        pass
+    try:
+        details.update(_linalg_extras(latency, deadline))
     except Exception:
         pass
     timer.cancel()
-    _emit(
-        {
-                "metric": "grm_tflops_per_chip",
-                "value": round(tflops, 2),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(tflops / v5e_bf16_peak, 4),
-                "details": {
-                    "n_individuals": n,
-                    "snps_processed": k_chunks * chunk,
-                    "seconds": round(dt, 4),
-                    "latency_correction_s": round(latency, 4),
-                    "policy": "fused pallas int8->bf16 standardize + "
-                    f"triangle-only dual syrk bn={block_n} bm={block_m}, "
-                    "fp32 in-place accum, mirrored once",
-                    "reml_dense_iteration_ms_n4096": reml_ms,
-                    "mlm_ml_refit_snps_per_sec_n4096": gwas_snps_per_sec,
-                    "baseline_note": (
-                        "vs analytic v5e bf16 peak 197 TFLOP/s; "
-                        "reference publishes no numbers"
-                    ),
-                },
-        }
-    )
+    _emit(best)
 
 
 if __name__ == "__main__":
