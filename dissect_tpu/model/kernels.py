@@ -114,7 +114,11 @@ class Kernel:
         single device's HBM."""
         if self.diagonalized:
             return self
-        if mesh is not None:
+        # the D&C solver only pays for itself when the spectrum is
+        # actually sharded: on one device XLA's native eigh is ~10x
+        # faster (measured, BENCH extras), so a trivial mesh degrades
+        # to the local solve
+        if mesh is not None and mesh.devices.size > 1:
             from dissect_tpu.linalg.dc_eigen import distributed_eigh
 
             w, u = distributed_eigh(self.dense(), mesh=mesh, **dc_options)

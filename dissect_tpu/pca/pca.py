@@ -89,7 +89,9 @@ def compute_pca(
             eigenvalues=to_host(w),
             eigenvectors=to_host(v),
         )
-    if mesh is not None:
+    # a 1-device mesh degrades to XLA's native eigh (~10x faster there;
+    # the D&C solver is for spectra that must be sharded)
+    if mesh is not None and mesh.devices.size > 1:
         from dissect_tpu.linalg.dc_eigen import distributed_eigh
 
         w, v = distributed_eigh(kernel.dense(), mesh=mesh)
