@@ -125,6 +125,40 @@ def config1(outdir):
     }
 
 
+def _oracle_h2(outdir):
+    """float64 numpy/scipy REML of the c1 cohort via the eigenbasis —
+    the parity target for the TPU fp32+f64-endgame pipeline (the
+    simulated 'true' h2 carries sampling error of ~0.1 at n=1000, so it
+    only anchors a loose sanity range)."""
+    from scipy.optimize import minimize_scalar
+
+    from dissect_tpu.io.grm_io import read_grm
+
+    g = read_grm(str(outdir / "c1"))
+    k = np.asarray(g["kernel"], dtype=np.float64)
+    ph = {}
+    for line in open(outdir / "cohort.pheno.txt"):
+        p = line.split()
+        ph[f"{p[0]}@{p[1]}"] = float(p[2])
+    y = np.array([ph[kk] for kk in g["individual_keys"]])
+    n = len(y)
+    w, u = np.linalg.eigh(k)
+    yr = u.T @ y
+    xr = (u.T @ np.ones((n, 1)))[:, 0]
+
+    def neg_remll(h2):
+        d = h2 * w + (1 - h2)
+        xtvx = (xr**2 / d).sum()
+        b = (xr * yr / d).sum() / xtvx
+        q = ((yr - xr * b) ** 2 / d).sum()
+        s2 = q / (n - 1)
+        return 0.5 * (np.log(d).sum() + np.log(xtvx)
+                      + (n - 1) * np.log(s2) + (n - 1))
+
+    return float(minimize_scalar(neg_remll, bounds=(1e-4, 1 - 1e-4),
+                                 method="bounded").x)
+
+
 def config2(outdir):
     """Single-trait AI-REML on the 1k-cohort GRM."""
     _, pheno, _ = _ensure_c1(outdir)
@@ -134,11 +168,14 @@ def config2(outdir):
     for line in open(outdir / "c2.reml"):
         if line.startswith("Var(GRM)/Var("):
             h2 = float(line.split()[1])
-    # parity: fitted h2 within sampling error of the simulated truth
-    # (SE ~ sqrt(2)/n * something; at n=1000 with a real GRM ~0.1)
-    assert h2 is not None and abs(h2 - 0.5) < 0.25, f"h2={h2} far from 0.5"
+    # parity: the fitted h2 must match an independent float64 REML
+    # recomputation (profile likelihood over the GRM eigenbasis)
+    h2_oracle = _oracle_h2(outdir)
+    assert h2 is not None and abs(h2 - h2_oracle) < 0.02, (
+        f"h2={h2} vs float64 oracle {h2_oracle}"
+    )
     return {"config": "AI-REML 1k", "reml_s": round(t, 2), "h2": h2,
-            "h2_true": 0.5}
+            "h2_oracle": round(h2_oracle, 4), "h2_true": 0.5}
 
 
 def config3(outdir):

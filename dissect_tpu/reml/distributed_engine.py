@@ -203,9 +203,14 @@ class DistributedREMLEngine(REMLEngine):
     def _refine_float64(self, theta, fixed, n_steps):
         """float64 endgame WITHOUT gathering: the same row-sharded
         quantities re-run at float64 on the mesh (the distributed analog
-        of the reference's precision switch, reml.cpp:1673-1724)."""
+        of the reference's precision switch, reml.cpp:1673-1724).
+        Returns (theta, logL, quantities, AI^-1, converged) like the
+        base engine's endgame — steps stop early at convergence so a
+        stalled fp32 fit can be salvaged here."""
         use_ml = self.options.use_ml
+        var_threshold = self.options.variance_convergence_threshold
         spec = NamedSharding(self.mesh, P("i", None))
+        converged = False
         with jax.enable_x64():
             put = lambda a: jax.device_put(np.asarray(a, dtype=np.float64), spec)
             cc64 = dataclasses.replace(
@@ -218,6 +223,8 @@ class DistributedREMLEngine(REMLEngine):
             x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
             pad64 = jnp.asarray(np.asarray(self._pad_diag, dtype=np.float64))
             q = None
+            prev_ll = -np.inf
+            log_likelihood = -np.inf
             ai_inv_full = np.zeros((len(theta), len(theta)))
             for _ in range(max(n_steps, 1)):
                 q = _distributed_dense_quantities(
@@ -232,6 +239,12 @@ class DistributedREMLEngine(REMLEngine):
                 )
                 grad = np.asarray(q["grad"], dtype=np.float64)
                 ai = np.asarray(q["ai"], dtype=np.float64)
+                prev_ll = log_likelihood
+                log_likelihood = -0.5 * (
+                    float(q["logdet_v"])
+                    + (0.0 if use_ml else float(q["logdet_xtvix"]))
+                    + float(q["ytpy"])
+                )
                 free = ~fixed
                 try:
                     ai_inv = np.linalg.inv(ai[np.ix_(free, free)])
@@ -242,12 +255,17 @@ class DistributedREMLEngine(REMLEngine):
                 delta = ai_inv_full @ grad
                 new_theta = theta + delta
                 self._constrain_m1(new_theta)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rel = np.abs(
+                        (new_theta - theta) / np.where(theta == 0, 1, theta)
+                    )
+                ll_diff = log_likelihood - prev_ll
                 theta = new_theta
-            log_likelihood = -0.5 * (
-                float(q["logdet_v"])
-                + (0.0 if use_ml else float(q["logdet_xtvix"]))
-                + float(q["ytpy"])
-            )
+                if bool(np.all(rel <= var_threshold)) and (
+                    -1e-2 < ll_diff < 1e-4 or prev_ll == -np.inf
+                ):
+                    converged = True
+                    break
             self.log.message(
                 f"  f64d logL {log_likelihood:.6f}  "
                 + " ".join(f"{t:.6g}" for t in theta)
@@ -257,4 +275,4 @@ class DistributedREMLEngine(REMLEngine):
             for key, val in q.items()
             if key in ("logdet_v", "logdet_xtvix", "ytpy", "grad", "ai", "finite")
         }
-        return theta, log_likelihood, q_np, ai_inv_full
+        return theta, log_likelihood, q_np, ai_inv_full, converged

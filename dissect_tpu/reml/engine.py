@@ -267,6 +267,8 @@ class REMLEngine:
         delta_store = np.zeros(k)
         ai_inv_full = np.zeros((k, k))
         ll_converged = var_converged = grad_converged = False
+        ll_history: List[float] = []
+        fp32_stalled = False
         n_iter = 0
         q = None
         sreml = "ML" if opts.use_ml else "REML"
@@ -427,6 +429,29 @@ class REMLEngine:
                     | np.array([names[i] in constrained for i in range(k)])
                 )
             )
+            # fp32 stall rescue: at the fp32 noise floor the AI steps
+            # fall into a small limit cycle (~1e-3 relative) so neither
+            # convergence test can ever fire; once the best logL has
+            # stopped improving over a window of iterations, hand the
+            # endgame to the float64 Newton instead of burning the
+            # iteration budget and failing — the large-N regime the
+            # reference's precision switch exists for (reml.cpp:1673-1724)
+            ll_history.append(log_likelihood)
+            if (
+                self.dtype != jnp.float64
+                and opts.float64_refine
+                and self.dimension <= opts.float64_refine_max_n
+                and not (ll_converged and var_converged)
+                and bool(np.all(rel_changes <= 1e-2))
+                and len(ll_history) >= 8
+                and max(ll_history[-4:]) <= max(ll_history[:-4]) + 1e-3
+            ):
+                fp32_stalled = True
+                self.log.message(
+                    "  fp32 progress stalled at the precision floor; "
+                    "switching to the float64 endgame"
+                )
+                break
             if (
                 ll_converged
                 and var_converged
@@ -452,14 +477,28 @@ class REMLEngine:
             success = False
 
         if (
-            success
+            (success or fp32_stalled)
             and opts.float64_refine
             and self.dtype != jnp.float64
             and self.dimension <= opts.float64_refine_max_n
         ):
-            theta, log_likelihood, q, ai_inv_full = self._refine_float64(
-                theta, fixed, opts.float64_refine_steps
+            n_steps = (
+                max(8, opts.float64_refine_steps)
+                if fp32_stalled
+                else opts.float64_refine_steps
             )
+            theta, log_likelihood, q, ai_inv_full, f64_ok = (
+                self._refine_float64(theta, fixed, n_steps)
+            )
+            if fp32_stalled:
+                # success now rests on the double-precision Newton
+                # actually converging (reml.cpp:1687-1702 in fp64 mode)
+                success = f64_ok
+                if not f64_ok:
+                    warnings.append(
+                        "fp32 iterations stalled and the float64 endgame "
+                        "did not converge"
+                    )
 
         if success:
             self.log.message(
@@ -485,11 +524,17 @@ class REMLEngine:
 
     def _refine_float64(self, theta, fixed, n_steps):
         """Final float64 Newton steps on the CPU backend (the fp64
-        endgame of the reference's mixed-precision policy)."""
+        endgame of the reference's mixed-precision policy).  Returns
+        (theta, logL, quantities, AI^-1, converged): steps stop early
+        once the relative variance changes drop below the convergence
+        threshold, so a stalled fp32 fit can be salvaged and declared
+        converged here."""
         import jax as _jax
 
         cpu = _jax.devices("cpu")[0]
         use_ml, use_f = self.options.use_ml, self.options.use_f_matrix
+        var_threshold = self.options.variance_convergence_threshold
+        converged = False
         with _jax.enable_x64():
             put = lambda a: _jax.device_put(
                 np.asarray(a, dtype=np.float64), cpu
@@ -503,11 +548,19 @@ class REMLEngine:
                     _blockdiag_quantities if cc64.diagonal else _dense_quantities
                 )
             q = None
+            prev_ll = -np.inf
+            log_likelihood = -np.inf
             ai_inv_full = np.zeros((len(theta), len(theta)))
             for _ in range(max(n_steps, 1)):
                 q = core(cc64, put(theta), y64, x64, use_ml, use_f)
                 grad = np.asarray(q["grad"], dtype=np.float64)
                 ai = np.asarray(q["ai"], dtype=np.float64)
+                prev_ll = log_likelihood
+                log_likelihood = -0.5 * (
+                    float(q["logdet_v"])
+                    + (0.0 if use_ml else float(q["logdet_xtvix"]))
+                    + float(q["ytpy"])
+                )
                 free = ~fixed
                 try:
                     ai_inv = np.linalg.inv(ai[np.ix_(free, free)])
@@ -518,12 +571,15 @@ class REMLEngine:
                 delta = ai_inv_full @ grad
                 new_theta = theta + delta
                 n_con, _names = self._constrain_m1(new_theta)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rel = np.abs((new_theta - theta) / np.where(theta == 0, 1, theta))
+                ll_diff = log_likelihood - prev_ll
                 theta = new_theta
-            log_likelihood = -0.5 * (
-                float(q["logdet_v"])
-                + (0.0 if use_ml else float(q["logdet_xtvix"]))
-                + float(q["ytpy"])
-            )
+                if bool(np.all(rel <= var_threshold)) and (
+                    -1e-2 < ll_diff < 1e-4 or prev_ll == -np.inf
+                ):
+                    converged = True
+                    break
             self.log.message(
                 f"  f64  logL {log_likelihood:.6f}  "
                 + " ".join(f"{t:.6g}" for t in theta)
@@ -533,7 +589,7 @@ class REMLEngine:
             for key, val in q.items()
             if key in ("logdet_v", "logdet_xtvix", "ytpy", "grad", "ai", "finite")
         }
-        return theta, log_likelihood, q_np, ai_inv_full
+        return theta, log_likelihood, q_np, ai_inv_full, converged
 
     # ----------------------------------------------------------- post-fit ---
     def _final_device_state(self):

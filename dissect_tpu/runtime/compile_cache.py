@@ -13,13 +13,41 @@ DISSECT_TPU_COMPILE_CACHE=<dir>, disable with DISSECT_TPU_COMPILE_CACHE=0.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _ENV = "DISSECT_TPU_COMPILE_CACHE"
 
 
+def _host_key() -> str:
+    """A fingerprint of this host's CPU capabilities.
+
+    XLA:CPU persists AOT executables specialized to the build machine's
+    vector extensions; loading one on a host with different features is
+    at best a warning and at worst silent miscompiled code (observed: a
+    cross-host cache hit that hung inside a device->host copy).  Keying
+    the cache directory by CPU identity makes stale entries unreachable
+    instead of trusting the loader's feature check."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(
+        f"{platform.machine()}-{platform.processor()}".encode()
+    ).hexdigest()[:10]
+
+
 def default_cache_dir() -> str | None:
-    """Cache directory, or None when caching is disabled (env var = 0)."""
+    """Cache directory, or None when caching is disabled (env var = 0).
+
+    An explicit env override is used verbatim (the caller owns host
+    consistency); the default locations are partitioned per host CPU."""
     env = os.environ.get(_ENV)
     if env == "0":
         return None
@@ -29,11 +57,12 @@ def default_cache_dir() -> str | None:
     if os.path.isdir(os.path.join(repo, ".git")) or os.path.isdir(
         os.path.join(repo, ".jax_cache")
     ):
-        return os.path.join(repo, ".jax_cache")
+        return os.path.join(repo, ".jax_cache", _host_key())
     return os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "dissect_tpu",
         "jax_cache",
+        _host_key(),
     )
 
 

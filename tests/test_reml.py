@@ -268,3 +268,34 @@ class TestMultiTrait:
             r.value for r in out.correlations if r.name == "Cor(GRM_p1-2)"
         )
         assert 0.2 < rg_hat <= 1.0
+
+
+class TestFp32StallRescue:
+    def test_fp32_stall_hands_off_to_f64_endgame(self, rng):
+        """An fp32 fit whose AI steps limit-cycle at the precision floor
+        must not fail after max_iterations: the windowed stall detector
+        breaks out and the float64 endgame converges (the reference's
+        precision-switch regime, reml.cpp:1673-1724).  An unreachable
+        variance threshold (1e-9 in fp32) forces the stall path."""
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.engine import REMLEngine, REMLOptions
+
+        n = 300
+        k = _sim_kernel(rng, n)
+        x = np.ones((n, 1))
+        u = np.linalg.cholesky(k + 1e-8 * np.eye(n)) @ rng.normal(size=n)
+        y = u * np.sqrt(0.7) + rng.normal(size=n) * np.sqrt(0.3)
+
+        model = build_variance_model([k], ["GRM"], [float(np.var(y))], [0.5])
+        ref = REMLEngine(model, y, x).fit()  # float64 (x64 test env)
+        assert ref.success
+
+        opts = REMLOptions(variance_convergence_threshold=1e-9,
+                           max_iterations=40)
+        eng32 = REMLEngine(model, y, x, options=opts, dtype=jnp.float32)
+        res = eng32.fit()
+        assert res.success, res.warnings
+        np.testing.assert_allclose(res.variances, ref.variances, rtol=1e-3)
+        np.testing.assert_allclose(
+            res.log_likelihood, ref.log_likelihood, rtol=1e-6
+        )
