@@ -1085,15 +1085,36 @@ class Analysis:
         return result
 
     def make_igwas(self):
-        """--igwas (igwas.cpp:102-200): SNP as the outcome."""
+        """--igwas (igwas.cpp:102-200): SNP as the outcome.
+
+        Base covariates come from --covar/--qcovar, TESTED covariates
+        from --igwas-covar/--igwas-qcovar (no mean column,
+        igwas.cpp:134-140).  Without a GRM the tested covariates are
+        required (igwas.cpp:27-30) and the per-SNP answer is the joint
+        F-test of the tested block; with a GRM the tested covariates
+        are rejected (igwas.cpp:70-76) and the answer is the chi2 LRT
+        of the genetic variance from per-SNP ML refits."""
         from dissect_tpu.gwas.igwas import igwas
 
         a = self.args
         data = self.load_genotype()
         covar = read_covariates(
-            a.igwas_covar, a.igwas_qcovar, default_keys=data.individual_keys
+            a.covar, a.qcovar, default_keys=data.individual_keys
         )
+        test_covar = None
+        if a.igwas_covar or a.igwas_qcovar:
+            test_covar = read_covariates(
+                a.igwas_covar, a.igwas_qcovar, include_mean=False
+            )
+        elif not a.grm:
+            raise ValueError(
+                "a file defining the covariates to test is expected "
+                "(--igwas-covar/--igwas-qcovar, igwas.cpp:27-30)"
+            )
         common = intersection_keeping_order(data.individual_keys, covar.keys)
+        if test_covar is not None:
+            common = intersection_keeping_order(common, test_covar.keys)
+            test_covar = test_covar.filter_individuals(common)
         data = data.filter(keep_individuals=common)
         covar = covar.filter_individuals(common)
         stats = data.stats()
@@ -1117,12 +1138,70 @@ class Analysis:
             data.snp_names,
             covar.matrix,
             covar.column_names,
+            test_x=test_covar.matrix if test_covar is not None else None,
+            test_names=(
+                test_covar.column_names if test_covar is not None else None
+            ),
             covariance=covariance,
             initial_h2=a.initial_h2,
         )
         res.write(a.out)
-        self.log.message(f"inverse GWAS stored at [ {a.out}.igwas ]")
+        self._write_igwas_reference_files(res, data, stats)
+        self.log.message(
+            f"inverse GWAS stored at [ {a.out}.igwas / {a.out}.gwas.* ]"
+        )
         return res
+
+    def _write_igwas_reference_files(self, res, data: PlinkData, stats):
+        """The reference's IGWAS result files (IGWAS::storeResults,
+        igwas.cpp:854-967): the .gwas.mean/.discrete/.quantitative
+        files carry the BASE covariate estimates per SNP-group; the
+        .gwas.snps rows print NA for the SNP effect columns (the SNP is
+        the outcome) with the per-SNP test in GROUPPV."""
+        a = self.args
+        kinds = {"mean": [], "discrete": [], "quantitative": []}
+        for j, name in enumerate(res.covariate_names[: res.n_base]):
+            if name.startswith("discrete"):
+                kinds["discrete"].append((name, j))
+            elif name.startswith("quantitative"):
+                kinds["quantitative"].append((name, j))
+            else:
+                kinds["mean"].append((name, j))
+        fitted = (
+            res.converged
+            if res.converged is not None
+            else np.ones(len(data.snps), dtype=bool)
+        )
+        order = sorted(
+            (i for i in range(len(data.snps)) if fitted[i]),
+            key=lambda i: data.snps[i].name,
+        )
+        for kind, entries in kinds.items():
+            with result_open(f"{a.out}.gwas.{kind}") as fh:
+                fh.write("GROUP NAME BETA SE PV\n")
+                for i in order:
+                    group = data.snps[i].name
+                    for name, j in entries:
+                        fh.write(
+                            f"{group} {name} {res.beta[i, j]:.8g} "
+                            f"{res.se[i, j]:.8g} {res.p[i, j]:.6g}\n"
+                        )
+        group_p = res.group_p
+        with result_open(a.out + ".gwas.snps") as fh:
+            fh.write("GROUP SNP ALLELE MEAN STDEV BETA NBETA SE PV GROUPPV\n")
+            for i in order:
+                snp = data.snps[i]
+                gp = f"{group_p[i]:.6g}" if group_p is not None else "NA"
+                fh.write(
+                    f"{snp.name} {snp.name} {snp.allele2} "
+                    f"{stats.mean[i]:.3g} {stats.std[i]:.3g} "
+                    f"NA NA NA NA {gp}\n"
+                )
+        if res.converged is not None and not res.converged.all():
+            with result_open(a.out + ".gwas.unfitted") as fh:
+                for i, snp in enumerate(data.snps):
+                    if not res.converged[i]:
+                        fh.write(snp.name + "\n")
 
     def make_recursive_gwas(self):
         """--rgwas (gwas.cpp:239-284)."""

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dissect_tpu.runtime.stats import chi2_sf, t_sf
+from dissect_tpu.runtime.stats import chi2_sf, f_sf, t_sf
 
 
 @dataclasses.dataclass
@@ -32,6 +32,14 @@ class IGwasResults:
     se: np.ndarray
     p: np.ndarray
     model: str
+    # per-SNP test of the full fit vs the reduced model: the F-test of
+    # the tested covariates (OLS) or the chi2 LRT of the genetic
+    # variance (covariance mode) — the reference reports this as the
+    # GROUPPV column, the SNP effect columns being NA
+    # (IGWAS::storeResults, igwas.cpp:932-947)
+    group_p: "np.ndarray" = None
+    converged: "np.ndarray" = None
+    n_base: int = None  # leading columns of beta that are BASE covariates
 
     def write(self, prefix: str):
         with open(prefix + ".igwas", "w") as fh:
@@ -84,6 +92,8 @@ def igwas(
     snp_names: Sequence[str],
     x,
     covariate_names: Sequence[str],
+    test_x=None,
+    test_names: Optional[Sequence[str]] = None,
     v_inv=None,
     covariance=None,
     initial_h2: float = 0.5,
@@ -93,16 +103,34 @@ def igwas(
     """Batched inverse GWAS.
 
     genotypes: (M, n) outcome rows (standardized dosages); x: (n, c)
-    tested covariates incl. mean column.  `covariance` = (eigenvalues,
-    eigenvectors) of the GRM/combined kernel enables the reference's
-    per-SNP ML refits (igwas.cpp:575-720); `v_inv` is a fixed-V GLS
-    fast-path extension (EMMAX-style, no per-SNP variance refit).
+    BASE covariates incl. mean column; `test_x`/`test_names`: the
+    TESTED covariates from --igwas-covar/--igwas-qcovar (no mean
+    column, igwas.cpp:134-140) — the full fit is [x | test_x], the
+    reduced fit is x alone, and group_p is the F-test of the added
+    block (computeGroupSignificance, gwas.cpp:919-939).  `covariance` =
+    (eigenvalues, eigenvectors) of the GRM/combined kernel enables the
+    reference's per-SNP ML refits against an E-only reduced ML fit
+    (igwas.cpp:575-720 + 604-624); `v_inv` is a fixed-V GLS fast-path
+    extension (EMMAX-style, no per-SNP variance refit).
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     g = jnp.asarray(genotypes, dtype=dtype)
+    n_base = np.shape(x)[1]
+    if test_x is not None:
+        if covariance is not None or v_inv is not None:
+            # the reference rejects testing covariates under a
+            # covariance (igwas.cpp:70-76)
+            raise ValueError(
+                "testing covariates cannot be combined with a GRM "
+                "covariance (igwas.cpp:70-76)"
+            )
+        x = np.column_stack([np.asarray(x), np.asarray(test_x)])
+        covariate_names = list(covariate_names) + list(test_names or [])
     xm = jnp.asarray(x, dtype=dtype)
     n, c = xm.shape
+    group_p = None
+    converged = None
     if covariance is not None:
         lam, u = covariance
         uj = jnp.asarray(u, dtype=dtype)
@@ -129,14 +157,37 @@ def igwas(
             chi2 = (beta / se) ** 2
         p = chi2_sf(1, chi2)
         model = "MLM-ML"
+        # reduced model: E-only ML (the reference deletes every
+        # non-E sub-covariance and refits, igwas.cpp:604-624) — for
+        # V = s2*I the profile ML is closed-form from the OLS residuals
+        _, sse_red, _ = _igwas_ols_core(g, xm)
+        sse_red = np.asarray(sse_red, dtype=np.float64)
+        logl_null = -0.5 * (n * np.log(sse_red / n) + n)
+        ratio = 2.0 * (np.asarray(logl, dtype=np.float64) - logl_null)
+        # one extra variance in the full model; the statistically
+        # standard df=1 chi2 (the reference passes the fixed-effect df
+        # difference, 0, to chi1_CDF here — a degenerate corner its own
+        # LRT helper avoids, results.cpp:38-52)
+        group_p = np.where(
+            ratio < 0.0, -1.0, chi2_sf(1, np.maximum(ratio, 0.0))
+        )
+        converged = np.asarray(grad_norm) < 1e-2
     elif v_inv is None:
         beta, sse, a_inv_diag = _igwas_ols_core(g, xm)
         beta = np.asarray(beta)
-        mse = np.asarray(sse)[:, None] / (n - c)
+        sse = np.asarray(sse)
+        mse = sse[:, None] / (n - c)
         se = np.sqrt(mse * np.asarray(a_inv_diag)[None, :])
         t = beta / se
         p = 2.0 * t_sf(n - c, np.abs(t))
         model = "OLS"
+        if c > n_base:
+            # F-test of the tested-covariate block vs the base-only
+            # reduced fit (SSR = sse_reduced - sse_full, h = c - n_base)
+            _, sse_red, _ = _igwas_ols_core(g, xm[:, :n_base])
+            h = float(c - n_base)
+            f_stat = (np.asarray(sse_red) - sse) / h / (sse / (n - c))
+            group_p = f_sf(h, float(n - c), np.maximum(f_stat, 0.0))
     else:
         beta, a_inv_diag = _igwas_gls_core(g, xm, jnp.asarray(v_inv, dtype=dtype))
         beta = np.asarray(beta)
@@ -151,4 +202,7 @@ def igwas(
         se=se,
         p=p,
         model=model,
+        group_p=group_p,
+        converged=converged,
+        n_base=n_base,
     )

@@ -170,13 +170,16 @@ def read_covariates(
     quantitative_path: Optional[str] = None,
     default_keys: Optional[Sequence[str]] = None,
     categories: Optional[List[List[str]]] = None,
+    include_mean: bool = True,
 ) -> Covariate:
     """Build the design matrix from optional discrete + quantitative files.
 
     With no files, X is a single mean column over `default_keys`
     (parity: Covariate constructor with emptyIndividualIds).
     `categories` overrides the per-column category order, for category
-    synchronization across traits.
+    synchronization across traits.  `include_mean=False` omits the
+    leading mean column (the reference's testing-covariate parse with
+    zero mean columns, igwas.cpp:134-140 / covariate.h:119-131).
     """
     disc = _read_table(discrete_path) if discrete_path else None
     quant = _read_table(quantitative_path) if quantitative_path else None
@@ -213,7 +216,7 @@ def read_covariates(
     missing_keys: List[str] = []
     rows: List[List[float]] = []
     for k in keys:
-        row: List[float] = [1.0]
+        row: List[float] = [1.0] if include_mean else []
         ok = True
         for c in range(n_disc):
             tok = disc[k][c]
@@ -236,7 +239,7 @@ def read_covariates(
         else:
             missing_keys.append(k)
 
-    names = ["mean"]
+    names = ["mean"] if include_mean else []
     for c in range(n_disc):
         for cat in categories[c][1:]:
             names.append(f"discrete_{c + 1}_{cat}")

@@ -55,8 +55,12 @@ def test_igwas_ml_matches_dense_oracle(rng):
 
 
 def test_cli_igwas_with_grm_uses_ml_refits(tmp_path, rng):
-    """--igwas --grm: the correction is per-SNP fitted variances, not a
-    hardcoded V = K + I."""
+    """--igwas --grm: base covariates come from --qcovar, the
+    correction is per-SNP fitted variances (not a hardcoded V = K + I),
+    and testing covariates are rejected under a covariance
+    (igwas.cpp:70-76)."""
+    import pytest
+
     d = make_dosage(rng, 30, 60)
     bfile, _ = make_plink(tmp_path, d, prefix="cohort")
     with open(tmp_path / "qc.txt", "w") as fh:
@@ -68,8 +72,12 @@ def test_cli_igwas_with_grm_uses_ml_refits(tmp_path, rng):
           str(tmp_path / "qc.txt"), "--out", f"{tmp_path}/plain",
           "--mesh", "none"])
     _run(["--igwas", "--bfile", bfile, "--grm", f"{tmp_path}/g",
-          "--igwas-qcovar", str(tmp_path / "qc.txt"),
+          "--qcovar", str(tmp_path / "qc.txt"),
           "--out", f"{tmp_path}/corrected", "--mesh", "none"])
+    with pytest.raises(ValueError, match="igwas.cpp:70-76"):
+        _run(["--igwas", "--bfile", bfile, "--grm", f"{tmp_path}/g",
+              "--igwas-qcovar", str(tmp_path / "qc.txt"),
+              "--out", f"{tmp_path}/bad", "--mesh", "none"])
     plain = open(f"{tmp_path}/plain.igwas").read().splitlines()
     corr = open(f"{tmp_path}/corrected.igwas").read().splitlines()
     assert len(plain) == len(corr) > 1
@@ -94,6 +102,51 @@ def test_cli_igwas_with_grm_uses_ml_refits(tmp_path, rng):
     b, ai_diag, _, _ = _dense_ml_fit(y, x, k, (0.5 * var, 0.5 * var))
     p_expect = chi2_sf(1, b[1] ** 2 / ai_diag[1])
     np.testing.assert_allclose(p_corr[1], p_expect, rtol=5e-3, atol=1e-10)
+
+
+def test_igwas_reference_format_and_group_f_test(tmp_path, rng):
+    """IGWAS::storeResults files (igwas.cpp:854-967): per-SNP groups in
+    lexicographic order with NA SNP-effect columns, GROUPPV = the joint
+    F-test of the tested covariates vs the base-only reduced fit,
+    pinned to a numpy nested-model oracle."""
+    from scipy.stats import f as f_dist
+
+    n, m = 90, 12
+    d = make_dosage(rng, m, n)
+    bfile, _ = make_plink(tmp_path, d, prefix="cohort")
+    with open(tmp_path / "qc.txt", "w") as fh:
+        for i in range(n):
+            fh.write(f"F{i} I{i} {rng.normal():.6f} {rng.normal():.6f}\n")
+    _run(["--igwas", "--bfile", bfile, "--igwas-qcovar",
+          str(tmp_path / "qc.txt"), "--out", f"{tmp_path}/ig",
+          "--mesh", "none"])
+    rows = open(f"{tmp_path}/ig.gwas.snps").read().splitlines()
+    assert rows[0].split() == [
+        "GROUP", "SNP", "ALLELE", "MEAN", "STDEV", "BETA", "NBETA",
+        "SE", "PV", "GROUPPV",
+    ]
+    recs = {r.split()[1]: r.split() for r in rows[1:]}
+    assert [r.split()[1] for r in rows[1:]] == sorted(recs)
+    assert all(rec[5] == rec[8] == "NA" for rec in recs.values())
+    mean_rows = open(f"{tmp_path}/ig.gwas.mean").read().splitlines()
+    assert mean_rows[0].split() == ["GROUP", "NAME", "BETA", "SE", "PV"]
+    assert len(mean_rows) == 1 + m  # one base 'mean' row per SNP group
+
+    qc = np.loadtxt(tmp_path / "qc.txt", usecols=(2, 3))
+    for i in [0, 5, 11]:
+        y = (d[i] - d[i].mean()).astype(np.float64)
+        x_base = np.ones((n, 1))
+        x_full = np.column_stack([x_base, qc])
+        b_f, *_ = np.linalg.lstsq(x_full, y, rcond=None)
+        b_r, *_ = np.linalg.lstsq(x_base, y, rcond=None)
+        sse_f = ((y - x_full @ b_f) ** 2).sum()
+        sse_r = ((y - x_base @ b_r) ** 2).sum()
+        h, q = 2.0, x_full.shape[1]
+        f_stat = (sse_r - sse_f) / h / (sse_f / (n - q))
+        p = float(f_dist.sf(f_stat, h, n - q))
+        np.testing.assert_allclose(
+            float(recs[f"snp{i}"][9]), p, rtol=1e-3, atol=1e-12
+        )
 
 
 def test_cli_glmm_covariance_from_prepared_model(tmp_path, rng):
