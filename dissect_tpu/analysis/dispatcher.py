@@ -1051,8 +1051,43 @@ class Analysis:
         z = _centered_genotypes(data)
         res = mp_gwas(z, data.snp_names, lm)
         res.write(a.out)
-        self.log.message(f"mpgwas results stored at [ {a.out}.mpgwas ]")
+        self._write_mpgwas_reference_file(res, data)
+        self.log.message(
+            f"mpgwas results stored at [ {a.out}.mpgwas / "
+            f"{a.out}.multipheno.gwas.snps ]"
+        )
         return res
+
+    def _write_mpgwas_reference_file(self, res, data: PlinkData):
+        """The reference's wide per-SNP table
+        (storeResultsMultiplePhenotype, gwasmp.cpp:752-813): one row
+        per SNP in lexicographic (std::map) order with NBETA-<pheno>
+        NSE-<pheno> PV-<pheno> triplets, effects and SEs divided by the
+        SNP's standard deviation."""
+        a = self.args
+        stats = data.stats()
+        with result_open(a.out + ".multipheno.gwas.snps") as fh:
+            header = "SNP ALLELE MEAN STDEV"
+            for label in res.phenotype_names:
+                header += f" NBETA-{label} NSE-{label} PV-{label}"
+            fh.write(header + "\n")
+            order = sorted(
+                range(len(data.snps)), key=lambda i: data.snps[i].name
+            )
+            for i in order:
+                snp = data.snps[i]
+                sd = stats.std[i]
+                line = (
+                    f"{snp.name} {snp.allele2} {stats.mean[i]:.3g} "
+                    f"{sd:.3g}"
+                )
+                for j in range(len(res.phenotype_names)):
+                    line += (
+                        f" {res.beta[i, j] / sd:.5g}"
+                        f" {res.se[i, j] / sd:.5g}"
+                        f" {res.p[i, j]:.6g}"
+                    )
+                fh.write(line + "\n")
 
     def make_simulate(self):
         """--simulate (analysis.cpp:181-192)."""

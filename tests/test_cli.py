@@ -129,6 +129,27 @@ class TestWorkflows:
         ])
         lines = (cohort["tmp"] / "mp.mpgwas").read_text().splitlines()
         assert len(lines) == 1 + 300 * 2  # header + SNPs x 2 phenos
+        # the reference's wide table (storeResultsMultiplePhenotype,
+        # gwasmp.cpp:752-813): NBETA/NSE/PV triplet per phenotype,
+        # lexicographic SNP order
+        wide = (cohort["tmp"] / "mp.multipheno.gwas.snps").read_text().splitlines()
+        head = wide[0].split()
+        assert head[:4] == ["SNP", "ALLELE", "MEAN", "STDEV"]
+        assert len(head) == 4 + 3 * 2 and head[4].startswith("NBETA-")
+        assert len(wide) == 1 + 300
+        names = [l.split()[0] for l in wide[1:]]
+        assert names == sorted(names)
+        # NBETA * STDEV == BETA from the long table for a spot row
+        by_key = {
+            (l.split()[0], l.split()[1]): l.split()
+            for l in lines[1:]
+        }
+        row = wide[1].split()
+        pheno0 = head[4][len("NBETA-"):]
+        beta_long = float(by_key[(row[0], pheno0)][2])
+        np.testing.assert_allclose(
+            float(row[4]) * float(row[3]), beta_long, rtol=2e-3
+        )
 
     def test_simulate_predict_roundtrip(self, cohort, rng):
         tmp = cohort["tmp"]
