@@ -250,3 +250,40 @@ def test_cli_recursive_gwas_with_grm(tmp_path, rng):
          + base + ["--out", f"{tmp_path}/r"])
     lines = open(f"{tmp_path}/r.rgwas").read().splitlines()
     assert lines[0] == "SNP"
+
+
+def test_moment_form_refit_matches_vmapped_oracle(rng):
+    """The moment-form _ml_refit_core (two MXU matmuls per iteration)
+    must reproduce the vmapped per-SNP formulation exactly: same
+    Fisher-scoring trajectory, coefficients, SEs, logL, variances."""
+    import jax.numpy as jnp
+
+    from dissect_tpu.gwas.mlm import _ml_refit_core, _ml_refit_core_vmapped
+
+    n, m = 96, 17
+    d = make_dosage(rng, m + 40, n)
+    z = (d - d.mean(1, keepdims=True)).astype(np.float64)
+    k = z[m:].T @ z[m:] / 40.0
+    k /= np.mean(np.diag(k))
+    w, u = np.linalg.eigh(k)
+    y = z[:3].sum(0) * 0.2 + rng.normal(size=n)
+    x = np.column_stack([np.ones(n), rng.normal(size=n)])
+    g_rot = jnp.asarray(z[:m] @ u)
+    y_rot = jnp.asarray(u.T @ y)
+    x_rot = jnp.asarray(u.T @ x)
+    lam = jnp.asarray(w)
+    theta0 = jnp.asarray([0.5 * y.var(), 0.5 * y.var()])
+
+    b_f, ai_f, th_f, ll_f, gn_f = _ml_refit_core(
+        g_rot, y_rot, x_rot, lam, theta0, 12
+    )
+    b_v, ai_v, th_v, ll_v, gn_v = _ml_refit_core_vmapped(
+        g_rot, y_rot, x_rot, lam, theta0, 12
+    )
+    np.testing.assert_allclose(np.asarray(th_f), np.asarray(th_v), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_v), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ai_f), np.asarray(ai_v), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_v), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(gn_f), np.asarray(gn_v), rtol=1e-6, atol=1e-10
+    )
