@@ -62,6 +62,17 @@ def make_cohort():
     with open(HERE / "pheno.txt", "w") as fh:
         for i in range(N):
             fh.write(f"F{i} I{i} {y[i]:.10f}\n")
+    # deterministic auxiliary inputs for the round-2 golden analyses
+    tc = rng.normal(size=N)
+    with open(HERE / "testcovar.txt", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} {tc[i]:.10f}\n")
+    with open(HERE / "groups.txt", "w") as fh:
+        for i in range(M):
+            fh.write(f"snp{i} g{i % 3}\n")
+    with open(HERE / "causal.txt", "w") as fh:
+        for i in range(0, M, 4):
+            fh.write(f"snp{i} {rng.normal():.6g}\n")
     return d, y
 
 
@@ -93,6 +104,27 @@ def main():
     run_cli(["--gwas"] + base + ["--out", str(HERE / "golden.ols")])
     run_cli(["--gwas", "--grm", str(HERE / "golden")] + base
             + ["--out", str(HERE / "golden.mlm")])
+    # round-2 golden surfaces: grouped GWAS, igwas, mp pipeline,
+    # simulate/predict (all deterministic: fixed cohort + --random-seed)
+    run_cli(["--gwas", "--groups", str(HERE / "groups.txt")] + base
+            + ["--out", str(HERE / "golden.grp")])
+    run_cli(["--igwas", "--bfile", str(HERE / "cohort"),
+             "--igwas-qcovar", str(HERE / "testcovar.txt"),
+             "--mesh", "none", "--out", str(HERE / "golden.ig")])
+    run_cli(["--mpresiduals"] + base + ["--out", str(HERE / "golden.mp")])
+    run_cli(["--mpgwas"] + base + ["--out", str(HERE / "golden.mp")])
+    run_cli(["--simulate", "--bfile", str(HERE / "cohort"),
+             "--effect-sizes", str(HERE / "causal.txt"),
+             "--simu-h2", "0.6", "--random-seed", "7",
+             "--mesh", "none", "--out", str(HERE / "golden.sim")])
+    with open(HERE / "eff.txt", "w") as fh:
+        fh.write("SNP ALLELE EFFECT\n")
+        for line in (HERE / "golden.sim.simulated.effects").read_text().splitlines():
+            snp, eff = line.split()
+            fh.write(f"{snp} C {eff}\n")
+    run_cli(["--predict", "--bfile", str(HERE / "cohort"),
+             "--snp-effects", str(HERE / "eff.txt"),
+             "--mesh", "none", "--out", str(HERE / "golden.pred")])
     # drop the run log (not a parity artifact)
     for log in HERE.glob("*.log"):
         log.unlink()

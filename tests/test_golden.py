@@ -260,6 +260,20 @@ def test_golden_regression(tmp_path):
     run(["--gwas"] + base + ["--out", f"{tmp_path}/golden.ols"])
     run(["--gwas", "--grm", f"{tmp_path}/golden"] + base
         + ["--out", f"{tmp_path}/golden.mlm"])
+    run(["--gwas", "--groups", str(GOLDEN / "groups.txt")] + base
+        + ["--out", f"{tmp_path}/golden.grp"])
+    run(["--igwas", "--bfile", str(GOLDEN / "cohort"),
+         "--igwas-qcovar", str(GOLDEN / "testcovar.txt"),
+         "--mesh", "none", "--out", f"{tmp_path}/golden.ig"])
+    run(["--mpresiduals"] + base + ["--out", f"{tmp_path}/golden.mp"])
+    run(["--mpgwas"] + base + ["--out", f"{tmp_path}/golden.mp"])
+    run(["--simulate", "--bfile", str(GOLDEN / "cohort"),
+         "--effect-sizes", str(GOLDEN / "causal.txt"),
+         "--simu-h2", "0.6", "--random-seed", "7",
+         "--mesh", "none", "--out", f"{tmp_path}/golden.sim"])
+    run(["--predict", "--bfile", str(GOLDEN / "cohort"),
+         "--snp-effects", str(GOLDEN / "eff.txt"),
+         "--mesh", "none", "--out", f"{tmp_path}/golden.pred"])
 
     text_outputs = [
         "golden.grm.ids", "golden.grm.snps",
@@ -267,6 +281,11 @@ def test_golden_regression(tmp_path):
         "golden.pca.eigenvalues", "golden.pca.eigenvectors",
         "golden.ols.gwas.snps", "golden.ols.gwas.mean",
         "golden.mlm.gwas.snps", "golden.mlm.gwas.unfitted",
+        "golden.grp.multi.gwas.snps",
+        "golden.ig.gwas.snps", "golden.ig.gwas.mean", "golden.ig.igwas",
+        "golden.mp.mpgwas", "golden.mp.multipheno.gwas.snps",
+        "golden.sim.simulated.phenos", "golden.sim.simulated.effects",
+        "golden.pred.predicted.phenos",
     ]
     for name in text_outputs:
         _diff_files(tmp_path / name, GOLDEN / name, rtol=2e-5)
