@@ -71,20 +71,111 @@ def _igwas_gls_core(g, x, vi):
 
 
 @partial(jax.jit, static_argnames=("n_iterations",))
-def _igwas_ml_core(g_rot, x_rot, lam, theta0s, n_iterations):
-    """Per-SNP ML variance refits with the SNP as the outcome.
-
-    IGWAS::computeGLMWithCovariance (igwas.cpp:575-720): every SNP's
-    fit is an embedded ML REML with V = t1*K + t2*I — the variances are
-    FIT per SNP, not fixed.  In the covariance eigenbasis the fits are
-    diagonal; all M run as one vmapped Fisher-scoring kernel, each from
-    its own initial-h2-scaled start (theta0s: (M, 2))."""
+def _igwas_ml_core_vmapped(g_rot, x_rot, lam, theta0s, n_iterations):
+    """Reference formulation (oracle for the moment-form path below)."""
     from dissect_tpu.gwas.mlm import _ml_fit_diagonal
 
     def one(y_rot, theta0):
         return _ml_fit_diagonal(lam, y_rot, x_rot, theta0, n_iterations)
 
     return jax.vmap(one)(g_rot, theta0s)
+
+
+@partial(jax.jit, static_argnames=("n_iterations",))
+def _igwas_ml_core(g_rot, x_rot, lam, theta0s, n_iterations):
+    """Per-SNP ML variance refits with the SNP as the outcome.
+
+    IGWAS::computeGLMWithCovariance (igwas.cpp:575-720): every SNP's
+    fit is an embedded ML REML with V = t1*K + t2*I — the variances are
+    FIT per SNP, not fixed, each from its own initial-h2-scaled start
+    (theta0s: (M, 2)).  Moment form (see gwas/mlm._ml_refit_core):
+    with the design X shared across SNPs, every per-SNP sum is a
+    weighted moment of the shared feature columns [X⊗X | lam·X⊗X |
+    lam | 1 | lam²] plus three weighted-outcome products — two MXU
+    matmuls (M,n)@(n,K) per Fisher iteration instead of a vmapped
+    per-SNP pipeline."""
+    m_snps, n = g_rot.shape
+    c = x_rot.shape[1]
+    pairs = [(i, j) for i in range(c) for j in range(i, c)]
+    n_pairs = len(pairs)
+    xx = jnp.stack([x_rot[:, i] * x_rot[:, j] for i, j in pairs], axis=1)
+    feats = jnp.concatenate(
+        [
+            xx,
+            lam[:, None] * xx,
+            lam[:, None],
+            jnp.ones((n, 1), x_rot.dtype),
+            (lam * lam)[:, None],
+        ],
+        axis=1,
+    )
+    idx_np = np.zeros((c, c), np.int32)
+    for k_, (i, j) in enumerate(pairs):
+        idx_np[i, j] = idx_np[j, i] = k_
+    idx = jnp.asarray(idx_np)
+    col_lam, col_one, col_lam2 = 2 * n_pairs, 2 * n_pairs + 1, 2 * n_pairs + 2
+    floor = 1e-6 * (theta0s[:, 0] + theta0s[:, 1])
+
+    def quad(mxx_w, gx_w, gg_w, b):
+        """Sum_n w r^2 with r = g - X b."""
+        return (
+            gg_w
+            - 2.0 * jnp.einsum("mi,mi->m", b, gx_w)
+            + jnp.einsum("mi,mij,mj->m", b, mxx_w, b)
+        )
+
+    def quantities(thetas):
+        v = thetas[:, :1] * lam[None, :] + thetas[:, 1:]
+        vi = 1.0 / v
+        vi2 = vi * vi
+        m1 = vi @ feats
+        m2 = vi2 @ feats
+        g1 = vi * g_rot
+        g2 = vi2 * g_rot
+        g3 = g2 * lam[None, :]
+        gx1, gx2, gx3 = g1 @ x_rot, g2 @ x_rot, g3 @ x_rot
+        gg2 = jnp.einsum("mn,mn->m", g2, g_rot)
+        gg3 = jnp.einsum("mn,mn->m", g3, g_rot)
+        a_mat = m1[:, idx]  # (M, c, c) = X' Vi X
+        b = jnp.linalg.solve(a_mat, gx1[..., None])[..., 0]
+        grad = 0.5 * jnp.stack(
+            [
+                quad(m2[:, n_pairs + idx], gx3, gg3, b) - m1[:, col_lam],
+                quad(m2[:, idx], gx2, gg2, b) - m1[:, col_one],
+            ],
+            axis=1,
+        )
+        fmat = 0.5 * jnp.stack(
+            [
+                jnp.stack([m2[:, col_lam2], m2[:, col_lam]], axis=-1),
+                jnp.stack([m2[:, col_lam], m2[:, col_one]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return a_mat, gx1, b, grad, fmat, v, vi
+
+    def body(_, th):
+        _, _, _, grad, fmat, _, _ = quantities(th)
+        delta = jnp.linalg.solve(fmat, grad[..., None])[..., 0]
+        return jnp.maximum(th + delta, floor[:, None])
+
+    thetas = jax.lax.fori_loop(0, n_iterations, body, theta0s)
+
+    a_mat, gx1, b, grad, fmat, v, vi = quantities(thetas)
+    a_inv = jnp.linalg.inv(a_mat)
+    b = jnp.einsum("mij,mj->mi", a_inv, gx1)
+    r = g_rot - b @ x_rot.T
+    logl = -0.5 * (
+        jnp.sum(jnp.log(v), axis=1) + jnp.einsum("mn,mn,mn->m", r, r, vi)
+    )
+    grad_norm = jnp.max(jnp.abs(grad), axis=1)
+    return (
+        b,
+        jnp.diagonal(a_inv, axis1=1, axis2=2),
+        thetas,
+        logl,
+        grad_norm,
+    )
 
 
 def igwas(

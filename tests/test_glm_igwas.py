@@ -190,3 +190,36 @@ class TestCliExtra:
             "--glmm", "--bfile", path, "--pheno", str(pheno), "--out", out,
         ])
         assert (tmp_path / "gl.glmm").exists()
+
+
+class TestIGwasMomentForm:
+    def test_matches_vmapped_oracle(self, rng):
+        """The moment-form igwas ML core reproduces the vmapped per-SNP
+        formulation: same trajectories, coefficients, SEs, logL."""
+        import jax.numpy as jnp
+
+        from dissect_tpu.gwas.igwas import (
+            _igwas_ml_core,
+            _igwas_ml_core_vmapped,
+        )
+
+        n, m = 84, 13
+        dosage = make_dosage(rng, m + 30, n)
+        z = (dosage - dosage.mean(1, keepdims=True)).astype(np.float64)
+        k = z[m:].T @ z[m:] / 30.0
+        k /= np.mean(np.diag(k))
+        w, u = np.linalg.eigh(k)
+        x = np.column_stack([np.ones(n), rng.normal(size=n)])
+        g_rot = jnp.asarray(z[:m] @ u)
+        x_rot = jnp.asarray(u.T @ x)
+        lam = jnp.asarray(w)
+        snp_var = z[:m].var(axis=1, ddof=1)
+        theta0s = jnp.asarray(np.column_stack([0.5 * snp_var, 0.5 * snp_var]))
+
+        out_f = _igwas_ml_core(g_rot, x_rot, lam, theta0s, 12)
+        out_v = _igwas_ml_core_vmapped(g_rot, x_rot, lam, theta0s, 12)
+        for a, b, name in zip(out_f, out_v, ["b", "ai", "theta", "logl", "gn"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-12,
+                err_msg=name,
+            )
