@@ -361,6 +361,48 @@ class Analysis:
                 )
         self.log.message(f"GRM stored at [ {self.args.out}.grm.* ]")
 
+    def make_grm_most_related(self):
+        """--make-grm-mr (makeGRMAndStoreMostRelated,
+        analysis.cpp:113-135): store the full GRM, the subset of
+        individuals with relatedness outside [--mostr-lower-thr,
+        --mostr-upper-thr] as <out>.mostRelated.grm.*, and report how
+        many individuals each --cutoff-thrs prune level would drop."""
+        a = self.args
+        with timers.phase("ComputeGRM"):
+            kern = self.load_grm()
+        use_distributed(a, kern.n)
+
+        def write(k, prefix):
+            k_host = to_host(k.matrix).astype(np.float64)
+            c_host = (
+                to_host(k.counts).astype(np.float64)
+                if k.counts is not None
+                else np.full((k.n, k.n), float(len(k.snp_names)))
+            )
+            if is_root():
+                grm_io.write_grm(
+                    prefix, k_host, c_host, k.individual_keys, k.snp_names
+                )
+
+        write(kern, a.out)
+        mr = kern.keep_with_relatedness_outside(
+            a.mostr_lower_thr, a.mostr_upper_thr
+        )
+        write(mr, a.out + ".mostRelated")
+        self.log.message(
+            f"GRM stored at [ {a.out}.grm.* ]; most-related subset "
+            f"({mr.n}/{kern.n} individuals) at "
+            f"[ {a.out}.mostRelated.grm.* ]"
+        )
+        for cutoff in a.cutoff_thrs or []:
+            pruned = kern.prune(cutoff)
+            dropped = kern.n - pruned.n
+            self.log.message(
+                f"{dropped} individuals have been filtered from {kern.n} "
+                f"when cutoff is {cutoff}. ({dropped / kern.n})"
+            )
+        return kern
+
     def make_pca(self):
         """--pca (analysis.cpp:233-243)."""
         kern = self.load_grm()
@@ -1545,6 +1587,7 @@ class Analysis:
     def run(self):
         dispatch = {
             "makeGRM": self.make_grm,
+            "makeGRMMostRelated": self.make_grm_most_related,
             "PCA": self.make_pca,
             "REML": self.make_reml,
             "bivarREML": self.make_multi_reml,

@@ -210,7 +210,9 @@ class Kernel:
         relatedness falls OUTSIDE [low, high]
         (keepWithRelatednessOutside, kernel.cpp:2039-2070) — used to
         focus analyses on informative related/unrelated pairs."""
-        k = np.asarray(self.dense())
+        from dissect_tpu.runtime.distributed_io import to_host
+
+        k = to_host(self.dense())
         n = k.shape[0]
         off = k.copy()
         np.fill_diagonal(off, (low + high) / 2.0)  # diagonal never triggers

@@ -59,9 +59,11 @@ ANALYSES = [
     ("--cov-predict", "predictCovarPhenotype",
      "predict the covariate contribution to phenotypes from stored "
      "covariate effects (analysis.cpp:436-456)"),
-    ("--make-grm-mr", "makeGRM",
-     "compute the GRM (the reference's MPI-read IO variant; identical "
-     "result here)"),
+    ("--make-grm-mr", "makeGRMMostRelated",
+     "compute the GRM, store it, and also store the subset of "
+     "individuals with relatedness outside [--mostr-lower-thr, "
+     "--mostr-upper-thr] (makeGRMAndStoreMostRelated, "
+     "analysis.cpp:113-135)"),
 ]
 
 
@@ -129,8 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
     grm.add_argument("--bgen-grm-list", help="file listing BGEN files, one "
                      "GRM kernel computed per entry (options.cpp:822-826)")
     grm.add_argument("--cutoff-thrs", nargs="+", type=float, default=None,
-                     help="accepted for compatibility (options.cpp:529-532 "
-                     "parses it but no reference code consumes it)")
+                     help="relatedness cutoffs to report prune counts for "
+                     "during --make-grm-mr (pruneThresholdsCheck, "
+                     "options.cpp:529-532, analysis.cpp:123-131)")
     grm.add_argument("--grm-no-mpi-write", action="store_true",
                      help="accepted for compatibility; IO is host-driven here")
     grm.add_argument("--bgen-l1", action="store_true",
@@ -278,12 +281,12 @@ def build_parser() -> argparse.ArgumentParser:
     gwas.add_argument("--redist-meth2", action="store_true",
                       help="accepted for compatibility; SNP distribution is "
                       "batch-driven here (options.h:192)")
-    gwas.add_argument("--mostr-lower-thr", type=float, default=None,
-                      help="accepted for compatibility (experimental "
-                      "multi-SNP ordering thresholds)")
-    gwas.add_argument("--mostr-upper-thr", type=float, default=None,
-                      help="accepted for compatibility (experimental "
-                      "multi-SNP ordering thresholds)")
+    gwas.add_argument("--mostr-lower-thr", type=float, default=-1.0,
+                      help="lower relatedness bound for --make-grm-mr "
+                      "(mostRelatedLowerThreshold, options.cpp:84,521-523)")
+    gwas.add_argument("--mostr-upper-thr", type=float, default=0.025,
+                      help="upper relatedness bound for --make-grm-mr "
+                      "(mostRelatedUpperThreshold, options.cpp:85,525-527)")
 
     eff = p.add_argument_group("group effects")
     eff.add_argument("--effects-files", nargs="+",

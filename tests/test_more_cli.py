@@ -227,3 +227,36 @@ class TestGroupedGwasCli:
         ])
         lines = (tmp_path / "ga.multi.gwas.snps").read_text().splitlines()
         assert {l.split()[0] for l in lines[1:]} == {"all"}
+
+
+class TestMakeGrmMostRelated:
+    def test_mr_subset_and_prune_report(self, tmp_path, rng):
+        """--make-grm-mr (makeGRMAndStoreMostRelated,
+        analysis.cpp:113-135): full GRM + .mostRelated subset with
+        relatedness outside the band, and per-cutoff prune counts."""
+        from dissect_tpu.analysis.dispatcher import main
+        from dissect_tpu.io.grm_io import read_grm
+        from dissect_tpu.runtime.mesh import set_mesh_context
+
+        n, m = 70, 50
+        dosage = make_dosage(rng, m, n)
+        path, data = make_plink(tmp_path, dosage)
+        out = str(tmp_path / "mr")
+        try:
+            main([
+                "--make-grm-mr", "--bfile", path, "--out", out,
+                "--mostr-lower-thr", "-0.2", "--mostr-upper-thr", "0.2",
+                "--cutoff-thrs", "0.9", "0.5",
+            ])
+        finally:
+            set_mesh_context(None)
+        full = read_grm(out)
+        mr = read_grm(out + ".mostRelated")
+        k = np.asarray(full["kernel"])
+        off = k.copy()
+        np.fill_diagonal(off, 0.0)
+        expect = ((off < -0.2) | (off > 0.2)).any(axis=1)
+        kept = [full["individual_keys"][i] for i in range(n) if expect[i]]
+        assert mr["individual_keys"] == kept
+        log = (tmp_path / "mr.log").read_text()
+        assert "when cutoff is 0.9" in log and "when cutoff is 0.5" in log
