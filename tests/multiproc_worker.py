@@ -74,12 +74,19 @@ def main():
     lo, hi = snp_shard_bounds(100)
     assert (lo, hi) == ((0, 50) if idx == 0 else (50, 100))
 
-    # --- 2. the production CLI, distributed GRM --------------------------
+    # --- 2. the production CLI, distributed GRM + REML + PCA -------------
     from dissect_tpu.analysis.dispatcher import main as cli_main
 
+    dist = ["--mesh", "auto", "--force-distributed"]
+    cli_main(["--make-grm", "--bfile", bfile, "--out", out] + dist)
+    # phenotype written beside the out prefix by the launcher
     cli_main(
-        ["--make-grm", "--bfile", bfile, "--out", out,
-         "--mesh", "auto", "--force-distributed"]
+        ["--reml", "--grm", out, "--pheno", f"{out}.pheno.txt",
+         "--reml-maxit", "40", "--out", f"{out}.r"] + dist
+    )
+    cli_main(
+        ["--pca", "--grm", out, "--num-eval", "4",
+         "--out", f"{out}.p"] + dist
     )
     print(f"WORKER_{idx}_OK", flush=True)
 

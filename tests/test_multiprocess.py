@@ -32,7 +32,11 @@ def _free_port():
 
 def test_two_process_grm_matches_single(tmp_path, rng):
     d = make_dosage(rng, 40, 48, missing_rate=0.03)
-    bfile, _ = make_plink(tmp_path, d, prefix="cohort")
+    bfile, data = make_plink(tmp_path, d, prefix="cohort")
+    y = rng.normal(size=48)
+    with open(f"{tmp_path}/multi.pheno.txt", "w") as fh:
+        for i, ind in enumerate(data.individuals):
+            fh.write(f"{ind.family_id} {ind.individual_id} {y[i]:.6g}\n")
 
     # single-process reference result
     from dissect_tpu.analysis.dispatcher import main as cli_main
@@ -41,6 +45,9 @@ def test_two_process_grm_matches_single(tmp_path, rng):
     try:
         cli_main(["--make-grm", "--bfile", bfile, "--out",
                   f"{tmp_path}/single", "--mesh", "none"])
+        cli_main(["--reml", "--grm", f"{tmp_path}/single", "--pheno",
+                  f"{tmp_path}/multi.pheno.txt", "--reml-maxit", "40",
+                  "--out", f"{tmp_path}/single.r", "--mesh", "none"])
     finally:
         set_mesh_context(None)
 
@@ -85,3 +92,28 @@ def test_two_process_grm_matches_single(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(multi["counts"]), np.asarray(single["counts"])
     )
+
+    # --reml through the DistributedREMLEngine on 2 processes: the
+    # root-written variances must match the single-process fit
+    def reml_vars(path):
+        out = {}
+        for line in open(path):
+            parts = line.split()
+            if len(parts) >= 2 and parts[0].startswith("Var("):
+                try:
+                    out.setdefault(parts[0], float(parts[1]))
+                except ValueError:
+                    pass
+        return out
+
+    v_single = reml_vars(f"{tmp_path}/single.r.reml")
+    v_multi = reml_vars(f"{tmp_path}/multi.r.reml")
+    assert set(v_single) == set(v_multi) and v_single
+    for key in v_single:
+        np.testing.assert_allclose(
+            v_multi[key], v_single[key], rtol=5e-3, atol=1e-6,
+            err_msg=key,
+        )
+    # --pca through the distributed dispatch (randomized top-4 here)
+    evals = np.loadtxt(f"{tmp_path}/multi.p.pca.eigenvalues")
+    assert np.isfinite(evals).all() and evals.shape == (4,)
