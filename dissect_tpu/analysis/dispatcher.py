@@ -934,6 +934,32 @@ class Analysis:
                     fh.write(line + "\n")
         if effects is not None:
             effects.save(a.out + ".effects")
+        # correlated-SNP removal (getLessSignificantCorrelatedSNPs per
+        # group, gwas.cpp:391 + storeResults' intersection with the
+        # significant set, gwas.cpp:1137-1152)
+        from dissect_tpu.gwas.grouped import flag_correlated_snps
+
+        flagged: set = set()
+        significant_set: set = set()
+        for res in results.values():
+            idxs = [name_to_i[nm] for nm in res.snp_names]
+            pv = [res.p[c + j] for j in range(len(res.snp_names))]
+            flagged.update(
+                flag_correlated_snps(
+                    z[idxs], res.snp_names, pv, a.snp_corr_threshold
+                )
+            )
+            for j, nm in enumerate(res.snp_names):
+                if pv[j] < a.significance_threshold:
+                    significant_set.add(nm)
+        correlated_significant = sorted(flagged & significant_set)
+        if correlated_significant:
+            self.log.message(
+                f"{len(correlated_significant)} correlated SNPs removed."
+            )
+            with result_open(a.out + ".gwas.correlatedSNPs") as fh:
+                for nm in correlated_significant:
+                    fh.write(nm + "\n")
         unfitted = [
             (g, s) for g, r in results.items() for s in r.dropped_snps
         ]

@@ -222,3 +222,39 @@ class TestRegionalCli:
 
         with pytest.raises(OptionsError):
             Options.parse(["--reml", "--region-size", "10", "--groups", "f.txt"])
+
+
+class TestCorrelatedSnpFile:
+    def test_correlated_significant_written(self, tmp_path, rng):
+        """storeResults removes the less-significant member of each
+        highly correlated significant pair and writes
+        .gwas.correlatedSNPs (gwas.cpp:391 + 1137-1152)."""
+        from dissect_tpu.analysis.dispatcher import main
+        from dissect_tpu.io.bed import write_plink
+
+        n, m = 120, 12
+        dosage = make_dosage(rng, m, n)
+        # snp1 = near-copy of snp0 (high but not perfect correlation so
+        # the joint fit keeps both columns), both very significant
+        dosage[1] = dosage[0]
+        flip = rng.choice(n, size=8, replace=False)
+        dosage[1, flip] = rng.integers(0, 3, size=8).astype(dosage.dtype)
+        _, data = make_plink(tmp_path, dosage)
+        z = (dosage - dosage.mean(1, keepdims=True)).astype(np.float64)
+        # BOTH correlated SNPs carry signal so both are significant in
+        # the joint fit and the less significant one gets flagged
+        y = 1.5 * z[0] + 1.5 * z[1] + 0.2 * rng.normal(size=n)
+        with open(tmp_path / "p.txt", "w") as fh:
+            for i, ind in enumerate(data.individuals):
+                fh.write(f"{ind.family_id} {ind.individual_id} {y[i]:.6g}\n")
+        out = str(tmp_path / "cg")
+        main([
+            "--gwas", "--bfile", str(tmp_path / "sim"), "--pheno",
+            str(tmp_path / "p.txt"), "--group-all",
+            "--significance-threshold", "1e-4",
+            "--snp-corr-threshold", "0.75", "--out", out,
+        ])
+        path = tmp_path / "cg.gwas.correlatedSNPs"
+        assert path.exists()
+        flagged = path.read_text().split()
+        assert len(flagged) == 1 and flagged[0] in ("snp0", "snp1")
