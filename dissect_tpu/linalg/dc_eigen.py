@@ -131,11 +131,27 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
     return x
 
 
+def pick_sign_block(n: int, n_devices: int, requested: Optional[int] = None) -> int:
+    """Cholesky panel width for the sign iterations' SPD solves.
+
+    Small panels mean many fine-grained sequential rounds per solve
+    (latency-bound even on one device); large panels unbalance the
+    trailing updates.  Largest power of two <= n/(4*devices), clamped
+    to [64, 512]."""
+    if requested is not None:
+        return requested
+    per = max(n // max(4 * n_devices, 1), 64)
+    block = 64
+    while block * 2 <= min(per, 512):
+        block *= 2
+    return block
+
+
 def matrix_sign(
     a,
     mesh: Optional[Mesh] = None,
     axis: str = "i",
-    block: int = 64,
+    block: Optional[int] = None,
     l0: float = 1e-6,
     ns_iters: int = 2,
 ):
@@ -144,6 +160,7 @@ def matrix_sign(
     Scale by alpha = min(frobenius, max row 1-norm) >= ||A||_2, pad to
     the mesh divisibility with +1 fixed points, run the QDWH schedule."""
     n = a.shape[0]
+    block = pick_sign_block(n, mesh.shape[axis] if mesh is not None else 1, block)
     fro = jnp.linalg.norm(a)
     row1 = jnp.max(jnp.sum(jnp.abs(a), axis=1))
     alpha = jnp.minimum(fro, row1) + jnp.asarray(1e-30, a.dtype)
@@ -205,7 +222,7 @@ def distributed_eigh(
     a,
     mesh: Optional[Mesh] = None,
     axis: str = "i",
-    block: int = 64,
+    block: Optional[int] = None,
     base_size: int = 1024,
     l0: float = 1e-6,
     seed: int = 0,
