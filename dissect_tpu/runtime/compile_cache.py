@@ -27,13 +27,24 @@ def _host_key() -> str:
     at best a warning and at worst silent miscompiled code (observed: a
     cross-host cache hit that hung inside a device->host copy).  Keying
     the cache directory by CPU identity makes stale entries unreachable
-    instead of trusting the loader's feature check."""
+    instead of trusting the loader's feature check.
+
+    The key covers the model name as well as the ISA flags: XLA picks
+    per-model tuning features (+prefer-no-scatter/+prefer-no-gather on
+    some Xeons) that do not appear in cpuinfo flags, so two hosts with
+    identical flags can still disagree on the AOT target."""
     try:
         with open("/proc/cpuinfo") as fh:
+            flags = model = ""
             for line in fh:
-                if line.startswith("flags"):
+                if line.startswith("flags") and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.md5(flags.encode()).hexdigest()[:10]
+                elif line.startswith("model name") and not model:
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
+                    break
+            if flags:
+                return hashlib.md5(f"{model}|{flags}".encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
