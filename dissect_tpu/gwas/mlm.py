@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dissect_tpu.gwas.ols import GwasResults
+from dissect_tpu.linalg.small import inv_spd_small, solve_spd_small
 from dissect_tpu.runtime.stats import chi2_sf
 
 
@@ -248,7 +249,9 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
             axis=1,
         )  # (M, q, q) = [X|g]' Vi [X|g]
         rhs = jnp.concatenate([mss1[:, :c, c], gs1[:, c:]], axis=1)
-        b = jnp.linalg.solve(a_mat, rhs[..., None])[..., 0]
+        # a_mat is the SPD GLS Gram matrix; the unrolled (q,q) Cholesky
+        # solve avoids XLA's batched-LU pivot loops (linalg/small.py)
+        b = solve_spd_small(a_mat, rhs)
         grad = 0.5 * jnp.stack(
             [
                 quad(mss3, gs3, gg3, b) - m1[:, col_lam],
@@ -269,13 +272,13 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
 
     def body(_, th):
         _, _, _, grad, fmat, _, _ = quantities(th)
-        delta = jnp.linalg.solve(fmat, grad[..., None])[..., 0]
+        delta = solve_spd_small(fmat, grad)  # (M,2,2) ML-F systems
         return jnp.maximum(th + delta, floor)
 
     thetas = jax.lax.fori_loop(0, n_iterations, body, thetas)
 
     a_mat, rhs, b, grad, fmat, v, vi = quantities(thetas)
-    a_inv = jnp.linalg.inv(a_mat)
+    a_inv = inv_spd_small(a_mat)
     b = jnp.einsum("mij,mj->mi", a_inv, rhs)
     # logL with the residual computed DIRECTLY (the quadratic-form
     # expansion would amplify fp32 cancellation when r^2 << y^2)

@@ -140,3 +140,49 @@ class TestQr:
         assert len(deps) == 1
         full = rng.normal(size=(20, 6))
         assert len(dependent_columns(full)) == 0
+
+
+class TestSmallSpd:
+    """linalg/small.py — unrolled batched tiny-SPD solves (the per-SNP
+    GLS/ML-F systems in gwas/mlm.py; reference: LAPACK dpotrf/dposv,
+    reml.cpp:1859-1871)."""
+
+    def test_solve_and_inverse_match_numpy(self, rng):
+        import jax.numpy as jnp
+
+        from dissect_tpu.linalg.small import inv_spd_small, solve_spd_small
+
+        for q in (1, 2, 3, 5, 8):
+            a = rng.normal(size=(64, q, q))
+            a = a @ np.swapaxes(a, -1, -2) + 3 * np.eye(q)
+            b = rng.normal(size=(64, q))
+            x = np.asarray(solve_spd_small(jnp.asarray(a), jnp.asarray(b)))
+            np.testing.assert_allclose(
+                x, np.linalg.solve(a, b[..., None])[..., 0], atol=1e-9
+            )
+            np.testing.assert_allclose(
+                np.asarray(inv_spd_small(jnp.asarray(a))),
+                np.linalg.inv(a),
+                atol=1e-9,
+            )
+
+    def test_unbatched_and_multibatch(self, rng):
+        import jax.numpy as jnp
+
+        from dissect_tpu.linalg.small import solve_spd_small
+
+        a = rng.normal(size=(3, 3))
+        a = a @ a.T + 3 * np.eye(3)
+        b = rng.normal(size=3)
+        np.testing.assert_allclose(
+            np.asarray(solve_spd_small(jnp.asarray(a), jnp.asarray(b))),
+            np.linalg.solve(a, b),
+            atol=1e-9,
+        )
+        a4 = np.broadcast_to(a, (2, 5, 3, 3))
+        b4 = rng.normal(size=(2, 5, 3))
+        np.testing.assert_allclose(
+            np.asarray(solve_spd_small(jnp.asarray(a4), jnp.asarray(b4))),
+            np.linalg.solve(a4, b4[..., None])[..., 0],
+            atol=1e-9,
+        )
