@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dissect_tpu.linalg.small import (
+    inv_spd_auto,
+    solve_spd_auto,
+    solve_spd_small,
+)
 from dissect_tpu.runtime.stats import chi2_sf, f_sf, t_sf
 
 
@@ -136,8 +141,8 @@ def _igwas_ml_core(g_rot, x_rot, lam, theta0s, n_iterations):
         gx1, gx2, gx3 = g1 @ x_rot, g2 @ x_rot, g3 @ x_rot
         gg2 = jnp.einsum("mn,mn->m", g2, g_rot)
         gg3 = jnp.einsum("mn,mn->m", g3, g_rot)
-        a_mat = m1[:, idx]  # (M, c, c) = X' Vi X
-        b = jnp.linalg.solve(a_mat, gx1[..., None])[..., 0]
+        a_mat = m1[:, idx]  # (M, c, c) = X' Vi X, SPD
+        b = solve_spd_auto(a_mat, gx1)
         grad = 0.5 * jnp.stack(
             [
                 quad(m2[:, n_pairs + idx], gx3, gg3, b) - m1[:, col_lam],
@@ -156,13 +161,13 @@ def _igwas_ml_core(g_rot, x_rot, lam, theta0s, n_iterations):
 
     def body(_, th):
         _, _, _, grad, fmat, _, _ = quantities(th)
-        delta = jnp.linalg.solve(fmat, grad[..., None])[..., 0]
+        delta = solve_spd_small(fmat, grad)  # (M,2,2) ML-F systems
         return jnp.maximum(th + delta, floor[:, None])
 
     thetas = jax.lax.fori_loop(0, n_iterations, body, theta0s)
 
     a_mat, gx1, b, grad, fmat, v, vi = quantities(thetas)
-    a_inv = jnp.linalg.inv(a_mat)
+    a_inv = inv_spd_auto(a_mat)
     b = jnp.einsum("mij,mj->mi", a_inv, gx1)
     r = g_rot - b @ x_rot.T
     logl = -0.5 * (

@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from dissect_tpu.gwas.ols import GwasResults
-from dissect_tpu.linalg.small import inv_spd_small, solve_spd_small
+from dissect_tpu.linalg.small import (
+    inv_spd_auto,
+    inv_spd_small,
+    solve_spd_small,
+)
 from dissect_tpu.runtime.stats import chi2_sf
 
 
@@ -114,7 +118,7 @@ def _ml_fit_diagonal(lam, y, xg, theta0, n_iterations):
         vi = 1.0 / v
         xgvi = xg * vi[:, None]
         a = xgvi.T @ xg
-        a_inv = jnp.linalg.inv(a)
+        a_inv = inv_spd_auto(a)  # SPD design Gram (vmapped per SNP/group)
         b = a_inv @ (xgvi.T @ y)
         r = y - xg @ b
         pyr = vi * r  # P y in the ML profile sense
@@ -131,7 +135,7 @@ def _ml_fit_diagonal(lam, y, xg, theta0, n_iterations):
                 [jnp.sum(vi2 * lam), jnp.sum(vi2)],
             ]
         )
-        delta = jnp.linalg.solve(f, grad)
+        delta = solve_spd_small(f, grad)  # 2x2 ML-F system
         theta = theta + delta
         return jnp.maximum(theta, floor)
 
@@ -141,7 +145,7 @@ def _ml_fit_diagonal(lam, y, xg, theta0, n_iterations):
     vi = 1.0 / v
     xgvi = xg * vi[:, None]
     a = xgvi.T @ xg
-    a_inv = jnp.linalg.inv(a)
+    a_inv = inv_spd_auto(a)
     b = a_inv @ (xgvi.T @ y)
     r = y - xg @ b
     logl = -0.5 * (jnp.sum(jnp.log(v)) + jnp.sum(r * r * vi))

@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["cholesky_small", "cho_solve_small", "solve_spd_small",
-           "inv_spd_small"]
+           "inv_spd_small", "solve_spd_auto", "inv_spd_auto",
+           "cholesky_diag_small", "MAX_UNROLL_Q"]
+
+# Above this (static) size the unrolled graphs grow as q^2-q^3 ops and
+# compile time dominates; batched LAPACK-style kernels win back.
+MAX_UNROLL_Q = 8
 
 
 def cholesky_small(a):
@@ -76,3 +81,29 @@ def inv_spd_small(a):
         for j in range(q)
     ]
     return jnp.stack(cols, axis=-1)
+
+
+def cholesky_diag_small(a):
+    """Just the Cholesky diagonal of SPD (..., q, q), stacked (..., q) —
+    enough for logdet and the PD check (NaN/non-positive on failure)."""
+    l = cholesky_small(a)
+    q = a.shape[-1]
+    return jnp.stack([l[(j, j)] for j in range(q)], axis=-1)
+
+
+def solve_spd_auto(a, b):
+    """Unrolled solve when q is small (static), batched LU otherwise."""
+    if a.shape[-1] <= MAX_UNROLL_Q:
+        return solve_spd_small(a, b)
+    import jax.numpy as _jnp
+
+    return _jnp.linalg.solve(a, b[..., None])[..., 0]
+
+
+def inv_spd_auto(a):
+    """Unrolled inverse when q is small (static), batched LU otherwise."""
+    if a.shape[-1] <= MAX_UNROLL_Q:
+        return inv_spd_small(a)
+    import jax.numpy as _jnp
+
+    return _jnp.linalg.inv(a)

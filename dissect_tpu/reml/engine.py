@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dissect_tpu.linalg.small import MAX_UNROLL_Q, cholesky_diag_small, inv_spd_small
 from dissect_tpu.linalg.spd import lu_inverse_logdet, spd_inverse_logdet
 from dissect_tpu.model.covariance import (
     CovarianceModel,
@@ -785,11 +786,16 @@ def _blockdiag_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     BlockMatrix replacement (reml.cpp:1896-1908, blockmatrix.h:32-124)."""
     T, n = cc.n_traits, cc.n
     vb = cc.assemble_blockdiag(theta)  # (n, T, T)
-    chol = jnp.linalg.cholesky(vb)
-    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    if T <= MAX_UNROLL_Q:
+        # unrolled TxT Cholesky/inverse: pure VPU ops over the n batch,
+        # no pivoted-LU while_loops (linalg/small.py)
+        diag = cholesky_diag_small(vb)
+        vi = inv_spd_small(vb)
+    else:
+        diag = jnp.diagonal(jnp.linalg.cholesky(vb), axis1=-2, axis2=-1)
+        vi = jnp.linalg.inv(vb)
     ok_v = jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
     logdet_v = 2.0 * jnp.sum(jnp.log(jnp.where(diag > 0, diag, 1.0)))
-    vi = jnp.linalg.inv(vb)  # batched T x T
     y4 = y.reshape(T, n)
     x4 = x.reshape(T, n, -1)
     vix = jnp.einsum("ist,tic->sic", vi, x4)
