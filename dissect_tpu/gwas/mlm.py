@@ -42,6 +42,19 @@ from dissect_tpu.linalg.small import (
 from dissect_tpu.runtime.stats import chi2_sf
 
 
+def use_pallas_moments(q: int) -> bool:
+    """True when the fused Pallas moments kernel applies: TPU backend
+    and the packed column layout fits one lane group (q = covars+1)."""
+    from dissect_tpu.gwas.pallas_moments import LANES, moment_columns
+
+    n_pairs = q * (q + 1) // 2
+    k_feats = 2 * n_pairs + 3
+    return (
+        jax.default_backend() == "tpu"
+        and moment_columns(q, k_feats)[-1] <= LANES
+    )
+
+
 @jax.jit
 def _gls_core(g, y, x, vi):
     """Batched GLS with fixed V^-1: block-inverse over the SNP axis."""
@@ -174,8 +187,9 @@ def _ml_refit_core_vmapped(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
     return jax.vmap(one)(g_rot)
 
 
-@partial(jax.jit, static_argnames=("n_iterations",))
-def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
+@partial(jax.jit, static_argnames=("n_iterations", "use_pallas"))
+def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations,
+                   use_pallas=False):
     """Moment-form per-SNP ML refits: the hot path.
 
     The vmapped formulation materializes the (M, n, c+1) batched design
@@ -225,7 +239,9 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
             + 2.0 * bg * jnp.einsum("mi,mi->m", bx, gs_w[:, :c])
         )
 
-    def quantities(thetas):
+    k_feats = feats.shape[1]
+
+    def moments_xla(thetas):
         v = thetas[:, :1] * lam[None, :] + thetas[:, 1:]
         vi = 1.0 / v
         vi2 = vi * vi
@@ -238,6 +254,37 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations):
         gg1 = jnp.einsum("mn,mn->m", g1, g_rot)
         gg2 = jnp.einsum("mn,mn->m", g2, g_rot)
         gg3 = jnp.einsum("mn,mn->m", g3, g_rot)
+        return m1, m2, gs1, gs2, gs3, gg1, gg2, gg3, v, vi
+
+    def moments_fused(thetas):
+        # one HBM pass over g_rot per iteration (gwas/pallas_moments.py)
+        from dissect_tpu.gwas.pallas_moments import (
+            fused_refit_moments,
+            moment_columns,
+        )
+
+        c0_m1, c0_m2, c0_g1, c0_g2, c0_g3, c0_gg, _ = moment_columns(
+            c + 1, k_feats
+        )
+        mom = fused_refit_moments(g_rot, thetas, lam, s, feats)
+        v = thetas[:, :1] * lam[None, :] + thetas[:, 1:]
+        return (
+            mom[:, c0_m1:c0_m1 + k_feats],
+            mom[:, c0_m2:c0_m2 + k_feats],
+            mom[:, c0_g1:c0_g1 + c + 1],
+            mom[:, c0_g2:c0_g2 + c + 1],
+            mom[:, c0_g3:c0_g3 + c + 1],
+            mom[:, c0_gg],
+            mom[:, c0_gg + 1],
+            mom[:, c0_gg + 2],
+            v,
+            1.0 / v,
+        )
+
+    def quantities(thetas):
+        m1, m2, gs1, gs2, gs3, gg1, gg2, gg3, v, vi = (
+            moments_fused if use_pallas else moments_xla
+        )(thetas)
         mss1 = m1[:, idx]  # (M, c+1, c+1) s-moments, weight vi
         mss2 = m2[:, idx]
         mss3 = m2[:, n_pairs + idx]  # weight vi^2 * lam
@@ -329,7 +376,11 @@ def mlm_gwas_ml_refit(
     theta0 = jnp.asarray(np.asarray(null_variances, dtype=np.float64), dtype=dtype)
 
     b, a_inv_diag, thetas, logl, grad_norm = _ml_refit_core(
-        g_rot, y_rot, x_rot, lam, theta0, n_iterations
+        g_rot, y_rot, x_rot, lam, theta0, n_iterations,
+        use_pallas=(
+            use_pallas_moments(x_rot.shape[1] + 1)
+            and g_rot.dtype == jnp.float32
+        ),
     )
     # reduced (covariate-only) ML fit for the chi2 LRT GROUPPV
     # (computeGroupSignificance ML branch, gwas.cpp:940-961)

@@ -287,3 +287,47 @@ def test_moment_form_refit_matches_vmapped_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(gn_f), np.asarray(gn_v), rtol=1e-6, atol=1e-10
     )
+
+
+def test_pallas_fused_moments_matches_xla_core(rng):
+    """The fused Pallas moments kernel (gwas/pallas_moments.py,
+    interpret mode on CPU) must reproduce the XLA moment-form core:
+    same trajectories, coefficients, SEs, logL — including the n/M
+    padding paths (deliberately unaligned shapes)."""
+    import jax.numpy as jnp
+
+    import dissect_tpu.gwas.pallas_moments as pm
+    from dissect_tpu.gwas.mlm import _ml_refit_core
+
+    n, m = 96, 17
+    d = make_dosage(rng, m + 40, n)
+    z = (d - d.mean(1, keepdims=True)).astype(np.float64)
+    k = z[m:].T @ z[m:] / 40.0
+    k /= np.mean(np.diag(k))
+    w, u = np.linalg.eigh(k)
+    y = z[:3].sum(0) * 0.2 + rng.normal(size=n)
+    x = np.column_stack([np.ones(n), rng.normal(size=n)])
+    g_rot = jnp.asarray((z[:m] @ u).astype(np.float32))
+    y_rot = jnp.asarray((u.T @ y).astype(np.float32))
+    x_rot = jnp.asarray((u.T @ x).astype(np.float32))
+    lam = jnp.asarray(w.astype(np.float32))
+    theta0 = jnp.asarray([0.5 * y.var(), 0.5 * y.var()], jnp.float32)
+
+    b_x, ai_x, th_x, ll_x, _ = _ml_refit_core(
+        g_rot, y_rot, x_rot, lam, theta0, 8, use_pallas=False
+    )
+    orig = pm.fused_refit_moments
+    # CPU: run the real kernel through the interpreter with tiny blocks
+    pm.fused_refit_moments = lambda *a, **kw: orig.__wrapped__(
+        *a, block_m=8, block_k=32, interpret=True
+    )
+    try:
+        b_p, ai_p, th_p, ll_p, _ = _ml_refit_core.__wrapped__(
+            g_rot, y_rot, x_rot, lam, theta0, 8, use_pallas=True
+        )
+    finally:
+        pm.fused_refit_moments = orig
+    np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_x), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ai_p), np.asarray(ai_x), rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th_p), np.asarray(th_x), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x), rtol=2e-3, atol=2e-2)
