@@ -57,14 +57,57 @@ def _centered_genotypes(data, stats=None) -> np.ndarray:
     return np.where(observed, filled - stats.mean[:, None], 0.0)
 
 
-def _chunked_gwas(fn, z, chunk: int = 65536):
+def _trim_gwas_results(res, m: int):
+    """Trim padded SNP rows (from mesh-divisibility padding) off every
+    per-SNP array field of a GwasResults."""
+    for field in (
+        "snp_beta", "snp_se", "snp_stat", "snp_p",
+        "cov_beta", "cov_se", "cov_p", "converged", "group_p",
+    ):
+        v = getattr(res, field, None)
+        if v is not None and getattr(v, "shape", None) and v.shape[0] > m:
+            setattr(res, field, v[:m])
+    return res
+
+
+def _chunked_gwas(fn, z, chunk: int = 65536, ctx=None):
     """Run a per-SNP GWAS solver over SNP blocks and concatenate —
     bounds device/host memory at genome scale (the batched analog of
-    the reference's per-file streaming loop, gwas.cpp:126-312)."""
+    the reference's per-file streaming loop, gwas.cpp:126-312).
+
+    With a MeshContext, each chunk's SNP axis is sharded over the whole
+    mesh (shard_snp_rows) before the solver runs — the TPU-native
+    `--parallel-gwas` (gwas.cpp:557-687): the batched solvers all lead
+    with the SNP axis, so XLA SPMD splits them across every chip.  The
+    next chunk's host->device transfer is issued BEFORE the current
+    chunk's results are pulled back, overlapping PCIe/ICI transfer
+    with device compute (the streaming analog of the reference's
+    block-row BED reads, genotype.cpp:639-707)."""
+    if ctx is not None:
+        from dissect_tpu.runtime.distributed_io import shard_snp_rows
+
+        upload = lambda zc: shard_snp_rows(np.asarray(zc), ctx)
+    else:
+        import jax
+
+        upload = lambda zc: (jax.device_put(np.asarray(zc)), zc.shape[0])
+
     m = z.shape[0]
     if m <= chunk:
-        return fn(z)
-    parts = [fn(z[s : s + chunk]) for s in range(0, m, chunk)]
+        zs, m_chunk = upload(z)
+        return _trim_gwas_results(fn(zs), m_chunk)
+    starts = list(range(0, m, chunk))
+    pending = upload(z[starts[0] : starts[0] + chunk])
+    parts = []
+    for i, s in enumerate(starts):
+        nxt = (
+            upload(z[starts[i + 1] : starts[i + 1] + chunk])
+            if i + 1 < len(starts)
+            else None
+        )  # async: chunk i+1 transfers while chunk i computes below
+        zs, m_chunk = pending
+        parts.append(_trim_gwas_results(fn(zs), m_chunk))
+        pending = nxt
     first = parts[0]
     cat = lambda attr: np.concatenate([getattr(p, attr) for p in parts])
     from dissect_tpu.gwas.ols import GwasResults
@@ -766,6 +809,9 @@ class Analysis:
         if a.groups or a.group_all:
             return self._grouped_gwas(data, z, y, x, stats, covariance)
 
+        # the --parallel-gwas analog (gwas.cpp:557-687): shard the SNP
+        # axis of every chunk over the mesh; y/X/V stay replicated
+        ctx = use_distributed(a, len(common))
         if covariance is not None:
             lam, u, (vg, ve) = covariance
             if a.gwas_use_null_variances:
@@ -774,14 +820,19 @@ class Analysis:
                 res = _chunked_gwas(
                     lambda zc: mlm_gwas_fixed_v(zc, y, x, jnp.asarray(v_inv)),
                     z,
+                    ctx=ctx,
                 )
             else:
                 res = _chunked_gwas(
-                    lambda zc: mlm_gwas_ml_refit(zc, y, x, lam, u, (vg, ve)),
+                    lambda zc: mlm_gwas_ml_refit(
+                        zc, y, x, lam, u, (vg, ve),
+                        retry_unfitted=a.gwas_retry_unfitted,
+                    ),
                     z,
+                    ctx=ctx,
                 )
         else:
-            res = _chunked_gwas(lambda zc: ols_gwas(zc, y, x), z)
+            res = _chunked_gwas(lambda zc: ols_gwas(zc, y, x), z, ctx=ctx)
 
         self._write_gwas(res, data, covar, common, z=z)
         return res
@@ -1117,7 +1168,9 @@ class Analysis:
         lm = lm.filter(keep_rows=common)
         data = data.filter(keep_individuals=common)
         z = _centered_genotypes(data)
-        res = mp_gwas(z, data.snp_names, lm)
+        res = mp_gwas(
+            z, data.snp_names, lm, mesh_ctx=use_distributed(a, len(common))
+        )
         res.write(a.out)
         self._write_mpgwas_reference_file(res, data)
         self.log.message(
@@ -1247,6 +1300,7 @@ class Analysis:
             ),
             covariance=covariance,
             initial_h2=a.initial_h2,
+            mesh_ctx=use_distributed(a, len(common)),
         )
         res.write(a.out)
         self._write_igwas_reference_files(res, data, stats)

@@ -195,6 +195,7 @@ def igwas(
     initial_h2: float = 0.5,
     n_iterations: int = 15,
     dtype=None,
+    mesh_ctx=None,
 ) -> IGwasResults:
     """Batched inverse GWAS.
 
@@ -211,6 +212,15 @@ def igwas(
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    m_orig = np.shape(genotypes)[0]
+    if mesh_ctx is not None:
+        # shard the SNP-as-outcome axis over the whole mesh (the
+        # grouped-communicator IGWAS analog, igwas.cpp:328-341): every
+        # core here leads with the SNP axis, so XLA SPMD splits the
+        # batched fits across chips; padded rows are trimmed below
+        from dissect_tpu.runtime.distributed_io import shard_snp_rows
+
+        genotypes, m_orig = shard_snp_rows(np.asarray(genotypes), mesh_ctx)
     g = jnp.asarray(genotypes, dtype=dtype)
     n_base = np.shape(x)[1]
     if test_x is not None:
@@ -291,14 +301,15 @@ def igwas(
         chi2 = (beta / se) ** 2
         p = chi2_sf(1, chi2)
         model = "GLS"
+    trim = lambda v: None if v is None else v[:m_orig]
     return IGwasResults(
         snp_names=list(snp_names),
         covariate_names=list(covariate_names),
-        beta=beta,
-        se=se,
-        p=p,
+        beta=trim(beta),
+        se=trim(se),
+        p=trim(p),
         model=model,
-        group_p=group_p,
-        converged=converged,
+        group_p=trim(group_p),
+        converged=trim(converged),
         n_base=n_base,
     )

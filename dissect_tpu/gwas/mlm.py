@@ -37,6 +37,7 @@ from dissect_tpu.gwas.ols import GwasResults
 from dissect_tpu.linalg.small import (
     inv_spd_auto,
     inv_spd_small,
+    solve_spd_auto,
     solve_spd_small,
 )
 from dissect_tpu.runtime.stats import chi2_sf
@@ -301,8 +302,10 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations,
         )  # (M, q, q) = [X|g]' Vi [X|g]
         rhs = jnp.concatenate([mss1[:, :c, c], gs1[:, c:]], axis=1)
         # a_mat is the SPD GLS Gram matrix; the unrolled (q,q) Cholesky
-        # solve avoids XLA's batched-LU pivot loops (linalg/small.py)
-        b = solve_spd_small(a_mat, rhs)
+        # solve avoids XLA's batched-LU pivot loops below MAX_UNROLL_Q
+        # (above it — many-PC designs — the auto variant falls back to
+        # batched LU so the unrolled graph can't blow up compile time)
+        b = solve_spd_auto(a_mat, rhs)
         grad = 0.5 * jnp.stack(
             [
                 quad(mss3, gs3, gg3, b) - m1[:, col_lam],
@@ -329,7 +332,7 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations,
     thetas = jax.lax.fori_loop(0, n_iterations, body, thetas)
 
     a_mat, rhs, b, grad, fmat, v, vi = quantities(thetas)
-    a_inv = inv_spd_small(a_mat)
+    a_inv = inv_spd_auto(a_mat)
     b = jnp.einsum("mij,mj->mi", a_inv, rhs)
     # logL with the residual computed DIRECTLY (the quadratic-form
     # expansion would amplify fp32 cancellation when r^2 << y^2)
@@ -347,6 +350,14 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations,
     )
 
 
+def _spans_multiple_devices(arr) -> bool:
+    """True for a jax.Array sharded across >1 device — the Pallas
+    moments kernel is a custom call XLA SPMD cannot partition, so the
+    sharded path uses the pure-XLA moments instead."""
+    sharding = getattr(arr, "sharding", None)
+    return sharding is not None and len(sharding.device_set) > 1
+
+
 def mlm_gwas_ml_refit(
     genotypes,
     y,
@@ -356,6 +367,7 @@ def mlm_gwas_ml_refit(
     null_variances,
     n_iterations: int = 15,
     dtype=None,
+    retry_unfitted: bool = True,
 ) -> GwasResults:
     """Exact mixed-model GWAS: per-SNP ML variance refits, vmapped.
 
@@ -365,6 +377,18 @@ def mlm_gwas_ml_refit(
     warm start.  Everything is rotated into the eigenbasis once
     (gwas.cpp:189-209), then M independent O(n)-per-iteration ML
     Newtons run as one vmapped kernel.
+
+    `genotypes` may be a mesh-sharded jax.Array (SNP axis over the
+    devices — the --parallel-gwas analog): every array here leads with
+    the SNP axis, so XLA SPMD runs the whole refit chip-parallel.
+
+    retry_unfitted: the batched analog of the reference's sequential
+    warm starts (each SNP starts from the AVERAGE of previously fitted
+    variances, gwas.cpp:836-869).  Batched fits all start from the
+    null variances; SNPs that fail the gradient test are refit once
+    with theta0 = mean over the converged SNPs' fitted variances and
+    double the iterations, rescuing most of what the reference saves
+    via averaging.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -375,13 +399,36 @@ def mlm_gwas_ml_refit(
     g_rot = jnp.asarray(genotypes, dtype=dtype) @ u
     theta0 = jnp.asarray(np.asarray(null_variances, dtype=np.float64), dtype=dtype)
 
+    use_pallas = (
+        use_pallas_moments(x_rot.shape[1] + 1)
+        and g_rot.dtype == jnp.float32
+        and not _spans_multiple_devices(g_rot)
+    )
     b, a_inv_diag, thetas, logl, grad_norm = _ml_refit_core(
         g_rot, y_rot, x_rot, lam, theta0, n_iterations,
-        use_pallas=(
-            use_pallas_moments(x_rot.shape[1] + 1)
-            and g_rot.dtype == jnp.float32
-        ),
+        use_pallas=use_pallas,
     )
+    if retry_unfitted:
+        unfit = np.asarray(grad_norm) >= 1e-2
+        fit_thetas = np.asarray(thetas)[~unfit]
+        if unfit.any() and fit_thetas.size:
+            idx = np.flatnonzero(unfit)
+            theta_warm = jnp.asarray(
+                fit_thetas.mean(axis=0).astype(np.float64), dtype=dtype
+            )
+            g_sub = jnp.asarray(np.asarray(g_rot)[idx])
+            b2, ad2, th2, ll2, gn2 = _ml_refit_core(
+                g_sub, y_rot, x_rot, lam, theta_warm, 2 * n_iterations,
+                use_pallas=False,
+            )
+            b, a_inv_diag, thetas, logl, grad_norm = (
+                np.asarray(v).copy()
+                for v in (b, a_inv_diag, thetas, logl, grad_norm)
+            )
+            b[idx], a_inv_diag[idx], thetas[idx] = (
+                np.asarray(b2), np.asarray(ad2), np.asarray(th2)
+            )
+            logl[idx], grad_norm[idx] = np.asarray(ll2), np.asarray(gn2)
     # reduced (covariate-only) ML fit for the chi2 LRT GROUPPV
     # (computeGroupSignificance ML branch, gwas.cpp:940-961)
     _, _, _, logl_null, _ = jax.jit(

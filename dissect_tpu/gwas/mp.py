@@ -123,6 +123,7 @@ def mp_gwas(
     residuals: LabeledMatrix,
     center: bool = True,
     dtype=None,
+    mesh_ctx=None,
 ) -> MpGwasResults:
     """Batched per-SNP x per-phenotype scalar regressions on residuals.
 
@@ -133,11 +134,18 @@ def mp_gwas(
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     lm = residuals.center_columns() if center else residuals
     y = jnp.asarray(lm.values, dtype=dtype)
+    m_orig = np.shape(genotypes)[0]
+    if mesh_ctx is not None:
+        # the grouped-communicator mpgwas analog (gwasmp.cpp:699+):
+        # shard the SNP axis over the mesh, trim the padded rows below
+        from dissect_tpu.runtime.distributed_io import shard_snp_rows
+
+        genotypes, m_orig = shard_snp_rows(np.asarray(genotypes), mesh_ctx)
     g = jnp.asarray(genotypes, dtype=dtype)
     n = y.shape[0]
     xtx, xty, yty = _mp_core(g, y)
-    xtx = np.asarray(xtx)
-    xty = np.asarray(xty)
+    xtx = np.asarray(xtx)[:m_orig]
+    xty = np.asarray(xty)[:m_orig]
     yty = np.asarray(yty)
 
     bad = xtx <= 0

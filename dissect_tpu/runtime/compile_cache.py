@@ -54,26 +54,87 @@ def _host_key() -> str:
     ).hexdigest()[:10]
 
 
+def _tpu_platform() -> bool:
+    """True when this process targets an accelerator backend (no CPU in
+    JAX_PLATFORMS).  TPU executables are serialized for the device, not
+    the host CPU — they are valid on any host that can reach the chip."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    return bool(plat) and "cpu" not in plat.lower().split(",")
+
+
+def _migrate_siblings(cache: str) -> int:
+    """Hardlink entries from sibling key dirs into the shared
+    accelerator dir.
+
+    Round 2 changed the host-key derivation (flags-only -> model+flags)
+    after the cache had been warmed, orphaning every entry: the bench's
+    large Pallas GRM program recompiled through the remote TPU service
+    for >7 minutes and the round shipped a zeroed BENCH record.  TPU
+    entries are device-targeted (host-independent), so they now live in
+    one shared dir; this one-time adoption pulls entries out of the old
+    per-host dirs.  Entries are content-hash-named (the XLA cache key
+    covers program + compile target), so same-named files are identical
+    and stray CPU entries from old dirs are inert here — a process with
+    an accelerator-only JAX_PLATFORMS never looks up CPU keys.  Linking
+    is idempotent and costs no disk.  Returns the entry count linked."""
+    parent = os.path.dirname(cache)
+    current = os.path.basename(cache)
+    linked = 0
+    try:
+        siblings = [
+            d for d in os.listdir(parent)
+            if d != current and os.path.isdir(os.path.join(parent, d))
+        ]
+    except OSError:
+        return 0
+    if not siblings:
+        return 0
+    os.makedirs(cache, exist_ok=True)
+    have = set(os.listdir(cache))
+    for key in siblings:
+        sib = os.path.join(parent, key)
+        try:
+            for name in os.listdir(sib):
+                if name in have:
+                    continue
+                try:
+                    os.link(os.path.join(sib, name), os.path.join(cache, name))
+                    have.add(name)
+                    linked += 1
+                except OSError:
+                    pass
+        except OSError:
+            pass
+    return linked
+
+
 def default_cache_dir() -> str | None:
     """Cache directory, or None when caching is disabled (env var = 0).
 
     An explicit env override is used verbatim (the caller owns host
-    consistency); the default locations are partitioned per host CPU."""
+    consistency); the defaults are one shared dir for accelerator runs
+    and per-host-CPU dirs for CPU runs."""
     env = os.environ.get(_ENV)
     if env == "0":
         return None
     if env:
         return env
+    # Accelerator executables are serialized for the DEVICE: one shared
+    # dir, immune to host-CPU key churn (the round-2 zeroed-bench root
+    # cause).  XLA:CPU AOT results are host-tuned (loading across hosts
+    # is at best a warning, at worst SIGILL), so CPU runs stay
+    # partitioned per host CPU identity.
+    key = "tpu" if _tpu_platform() else _host_key()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if os.path.isdir(os.path.join(repo, ".git")) or os.path.isdir(
         os.path.join(repo, ".jax_cache")
     ):
-        return os.path.join(repo, ".jax_cache", _host_key())
+        return os.path.join(repo, ".jax_cache", key)
     return os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "dissect_tpu",
         "jax_cache",
-        _host_key(),
+        key,
     )
 
 
@@ -82,6 +143,11 @@ def enable_compile_cache() -> str | None:
     cache = default_cache_dir()
     if cache is None:
         return None
+    if not os.environ.get(_ENV) and os.path.basename(cache) == "tpu":
+        # shared accelerator dir: adopt entries stranded in the old
+        # per-host key dirs (an explicit override is used verbatim;
+        # per-host CPU dirs never adopt foreign AOT results)
+        _migrate_siblings(cache)
     import jax
 
     try:

@@ -202,3 +202,24 @@ def _stream_grm_multiprocess(
             lambda k, c: k / jnp.where(c == 0, 1.0, c)
         )(kernel, counts)
     return normalized, counts
+
+
+def shard_snp_rows(z: np.ndarray, ctx: MeshContext):
+    """Shard an (M, ...) per-SNP block over the WHOLE mesh on axis 0.
+
+    The reference distributes the per-SNP GWAS loop by dealing SNP rows
+    round-robin to grouped communicators (gwas.cpp:557-687,
+    genotype.cpp:1623); the TPU analog is one NamedSharding over the
+    flattened mesh — every batched per-SNP solver (ols/mlm/mp/igwas)
+    leads with the SNP axis, so XLA SPMD splits the whole computation
+    across chips with no further code changes.
+
+    M is padded to a multiple of the device count by repeating the last
+    row (a well-conditioned duplicate, not a singular zero row); the
+    caller trims outputs back to M.  Returns (sharded_array, M).
+    """
+    m = z.shape[0]
+    pad = (-m) % ctx.n_devices
+    if pad:
+        z = np.concatenate([z, np.repeat(z[-1:], pad, axis=0)])
+    return jax.device_put(z, ctx.rows), m

@@ -269,6 +269,12 @@ def build_parser() -> argparse.ArgumentParser:
     gwas.add_argument("--gwas-use-null-variances", action="store_true",
                       help="fast path: fix variances at the null model fit "
                       "(EMMAX-style) instead of per-SNP ML refits")
+    gwas.add_argument("--no-gwas-retry-unfitted", dest="gwas_retry_unfitted",
+                      action="store_false", default=True,
+                      help="skip the warm-started retry pass for SNPs whose "
+                      "ML refit did not converge (the batched analog of the "
+                      "reference's averaged sequential warm starts, "
+                      "gwas.cpp:836-869)")
     gwas.add_argument("--significance-threshold", type=float, default=5e-8)
     gwas.add_argument("--group-var", action="store_true",
                       help="estimate per-group effect variances "
