@@ -62,6 +62,15 @@ def make_cohort():
     with open(HERE / "pheno.txt", "w") as fh:
         for i in range(N):
             fh.write(f"F{i} I{i} {y[i]:.10f}\n")
+    # a second, genetically-correlated trait for the bivariate golden
+    # (same causal SNPs, partly shared environment -> rg > 0).  Drawn
+    # from a SEPARATE rng so the original fixture streams (testcovar,
+    # groups, causal effects) stay byte-identical.
+    rng2 = np.random.default_rng(SEED + 4)
+    y2 = 0.75 * g + 0.65 * rng2.normal(size=N)
+    with open(HERE / "pheno2.txt", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} {y[i]:.10f} {y2[i]:.10f}\n")
     # deterministic auxiliary inputs for the round-2 golden analyses
     tc = rng.normal(size=N)
     with open(HERE / "testcovar.txt", "w") as fh:
@@ -74,6 +83,24 @@ def make_cohort():
         for i in range(0, M, 4):
             fh.write(f"snp{i} {rng.normal():.6g}\n")
     return d, y
+
+
+def write_bgen_cohort():
+    """The same cohort as BGEN (layout 2, 16-bit, zlib): hard calls get
+    probability 1, missing stays missing — the BGEN-ingested GRM must
+    match the .bed-ingested one to encoding precision."""
+    from dissect_tpu.io.bed import read_plink
+    from dissect_tpu.io.bgen import BgenData, write_bgen
+
+    data = read_plink(str(HERE / "cohort"))
+    d = data.dosages()  # (M, N) int8, -1 = missing
+    dosages = np.where(d >= 0, d, np.nan).astype(np.float32)
+    write_bgen(
+        str(HERE / "cohort.bgen"),
+        BgenData(snps=data.snps, individuals=data.individuals,
+                 dosages=dosages),
+        bits=16,
+    )
 
 
 def run_cli(args):
@@ -97,7 +124,8 @@ def main():
     base = ["--bfile", str(HERE / "cohort"), "--pheno",
             str(HERE / "pheno.txt"), "--mesh", "none"]
     run_cli(["--make-grm"] + base + ["--out", str(HERE / "golden")])
-    run_cli(["--reml", "--grm", str(HERE / "golden"), "--blue"]
+    run_cli(["--reml", "--grm", str(HERE / "golden"), "--blue",
+             "--snp-blup"]
             + base + ["--out", str(HERE / "golden")])
     run_cli(["--pca", "--grm", str(HERE / "golden"), "--num-eval", "5"]
             + base + ["--out", str(HERE / "golden")])
@@ -125,6 +153,22 @@ def main():
     run_cli(["--predict", "--bfile", str(HERE / "cohort"),
              "--snp-effects", str(HERE / "eff.txt"),
              "--mesh", "none", "--out", str(HERE / "golden.pred")])
+    # round-3 golden surfaces: bivariate .reml + .correlations
+    # (reml.cpp:2838-2906), regional REML (.regional/.lrt,
+    # singlereml.cpp:230-360), diagonalized GRM (.grm.diag eigenvalues
+    # + eigenvector .dat, kernel.cpp:992-1002), .blup.snps above
+    # (reml.cpp:3330-3346), and a BGEN-ingested GRM (genotypebgen.cpp)
+    run_cli(["--bivar-reml", "--grm", str(HERE / "golden"),
+             "--bfile", str(HERE / "cohort"),
+             "--pheno", str(HERE / "pheno2.txt"), "--pheno-cols", "1,2",
+             "--mesh", "none", "--out", str(HERE / "golden.bi")])
+    run_cli(["--reml", "--groups", str(HERE / "groups.txt")] + base
+            + ["--out", str(HERE / "golden.reg")])
+    run_cli(["--make-grm", "--diagonalize"] + base
+            + ["--out", str(HERE / "golden.diag")])
+    write_bgen_cohort()
+    run_cli(["--make-grm", "--bgen", str(HERE / "cohort.bgen"),
+             "--mesh", "none", "--out", str(HERE / "golden.bgen")])
     # drop the run log (not a parity artifact)
     for log in HERE.glob("*.log"):
         log.unlink()

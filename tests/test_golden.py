@@ -204,6 +204,180 @@ class TestGoldenNumbersAreCorrect:
             # F(1, df) of the added SNP == t^2: GROUPPV equals PV
             np.testing.assert_allclose(float(parts[9]), p, rtol=1e-3)
 
+    def test_bgen_grm_oracle(self):
+        """The BGEN-ingested GRM from first principles: the fixture's
+        BGEN carries the same hard calls (prob 1, 16-bit), and the BGEN
+        path standardizes by the EMPIRICAL dosage std — the reference's
+        on-the-fly accumulation (genotypebgen.cpp:106-122) — unlike the
+        .bed path's binomial sqrt(2p(1-p))."""
+        from dissect_tpu.io.grm_io import read_grm
+
+        d = _independent_bed_decode()
+        obs = (d >= 0).astype(np.float64)
+        filled = np.where(d >= 0, d, 0).astype(np.float64)
+        mean = filled.sum(1) / obs.sum(1)
+        # empirical SAMPLE std over observed dosages (ddof=1)
+        var = (obs * (filled - mean[:, None]) ** 2).sum(1) / (
+            obs.sum(1) - 1.0
+        )
+        z = obs * (filled - mean[:, None]) / np.sqrt(var)[:, None]
+        counts = obs.T @ obs
+        k_oracle = (z.T @ z) / counts
+        bgen = read_grm(str(GOLDEN / "golden.bgen"))
+        np.testing.assert_allclose(
+            np.asarray(bgen["kernel"]), k_oracle, rtol=5e-3, atol=5e-4
+        )
+        np.testing.assert_allclose(np.asarray(bgen["counts"]), counts)
+
+    def test_diagonalized_grm_is_the_eigendecomposition(self):
+        """golden.diag stores U (in .dat) and lambda (.grm.diag) with
+        U diag(lambda) U' == the dense GRM and lambda == numpy eigh
+        (diagonalizeKernel, kernel.cpp:2106-2141 + 992-1002)."""
+        from dissect_tpu.io.grm_io import read_grm
+
+        dense = np.asarray(read_grm(str(GOLDEN / "golden"))["kernel"])
+        diag = read_grm(str(GOLDEN / "golden.diag"))
+        u = np.asarray(diag["eigenvectors"], dtype=np.float64)
+        w = np.asarray(diag["eigenvalues"], dtype=np.float64)
+        np.testing.assert_allclose(
+            np.sort(w), np.sort(np.linalg.eigvalsh(dense)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            (u * w) @ u.T, dense, rtol=1e-4, atol=1e-5
+        )
+
+    def test_snp_blup_formula(self):
+        """golden.GRM.blup.snps from first principles: blup_s =
+        s2_g * (z_s . Py) * n / (n_s * M) with Py at the fitted
+        variances (computeSNPsBLUP, reml.cpp:3098-3356)."""
+        from dissect_tpu.io.grm_io import read_grm
+
+        d = _independent_bed_decode()
+        k = np.asarray(read_grm(str(GOLDEN / "golden"))["kernel"])
+        y = _read_pheno()
+        m, n = d.shape
+        stored = _reml_values()
+        vg, ve = stored["Var(GRM)"][0], stored["Var(E)"][0]
+        v = vg * k + ve * np.eye(n)
+        vi = np.linalg.inv(v)
+        x = np.ones((n, 1))
+        p = vi - vi @ x @ np.linalg.inv(x.T @ vi @ x) @ x.T @ vi
+        py = p @ y
+        obs = (d >= 0).astype(np.float64)
+        filled = np.where(d >= 0, d, 0).astype(np.float64)
+        mean = filled.sum(1) / obs.sum(1)
+        p2 = mean / 2.0
+        std = np.sqrt(2.0 * p2 * (1.0 - p2))
+        z = obs * (filled - mean[:, None]) / std[:, None]
+        blup = vg * (z @ py) * n / (obs.sum(1) * m)
+        rows = (GOLDEN / "golden.GRM.blup.snps").read_text().split("\n")
+        assert rows[0].split() == ["SNP", "ALLELE", "BLUP", "STDEV",
+                                   "MEAN", "NBLUP"]
+        got = {r.split()[0]: r.split() for r in rows[1:] if r}
+        for i in range(m):
+            parts = got[f"snp{i}"]
+            np.testing.assert_allclose(float(parts[2]), blup[i], rtol=1e-4)
+            np.testing.assert_allclose(float(parts[3]), std[i], rtol=1e-4)
+            np.testing.assert_allclose(
+                float(parts[5]), blup[i] / std[i], rtol=1e-4
+            )
+
+    def test_bivar_reml_is_the_likelihood_optimum(self):
+        """Brute-force 6-parameter bivariate REML (scipy over the
+        2n x 2n dense V) reproduces golden.bi.reml's variances and the
+        derived genetic correlation (reml.cpp:2838-2906)."""
+        from scipy.optimize import minimize
+
+        from dissect_tpu.io.grm_io import read_grm
+
+        k = np.asarray(read_grm(str(GOLDEN / "golden"))["kernel"])
+        n = k.shape[0]
+        lines = (GOLDEN / "pheno2.txt").read_text().split("\n")
+        y1 = np.array([float(l.split()[2]) for l in lines if l.strip()])
+        y2 = np.array([float(l.split()[3]) for l in lines if l.strip()])
+        y = np.concatenate([y1, y2])
+        x = np.zeros((2 * n, 2))
+        x[:n, 0] = 1.0
+        x[n:, 1] = 1.0
+        eye = np.eye(n)
+
+        def neg_rll(theta):
+            g1, g2, cg, e1, e2, ce = theta
+            if g1 <= 0 or g2 <= 0 or e1 <= 0 or e2 <= 0:
+                return 1e10
+            vg = np.block([[g1 * k, cg * k], [cg * k, g2 * k]])
+            vee = np.block([[e1 * eye, ce * eye], [ce * eye, e2 * eye]])
+            v = vg + vee
+            sign, logdet = np.linalg.slogdet(v)
+            if sign <= 0:
+                return 1e10
+            vi = np.linalg.inv(v)
+            xtvix = x.T @ vi @ x
+            p = vi - vi @ x @ np.linalg.inv(xtvix) @ x.T @ vi
+            return 0.5 * (logdet + np.linalg.slogdet(xtvix)[1] + y @ p @ y)
+
+        stored = {}
+        for line in (GOLDEN / "golden.bi.reml").read_text().split("\n"):
+            parts = line.split()
+            if len(parts) == 3 and (
+                parts[0].startswith("Var(") or parts[0].startswith("Covar(")
+            ):
+                stored.setdefault(parts[0], float(parts[1]))
+        start = np.array([0.3, 0.3, 0.1, 0.3, 0.3, 0.1])
+        res = minimize(neg_rll, start, method="Nelder-Mead",
+                       options={"xatol": 1e-10, "fatol": 1e-12,
+                                "maxiter": 6000, "maxfev": 8000})
+        g1, g2, cg, e1, e2, ce = res.x
+        np.testing.assert_allclose(stored["Var(GRM_p1)"], g1, rtol=2e-3)
+        np.testing.assert_allclose(stored["Var(GRM_p2)"], g2, rtol=2e-3)
+        np.testing.assert_allclose(stored["Covar(GRM_p1-2)"], cg, rtol=2e-3)
+        np.testing.assert_allclose(stored["Var(E_p1)"], e1, rtol=2e-3)
+        np.testing.assert_allclose(stored["Var(E_p2)"], e2, rtol=2e-3)
+        np.testing.assert_allclose(stored["Covar(E_p1-2)"], ce, rtol=2e-3)
+        # .correlations consistency: Cor = Covar / sqrt(V1 V2)
+        cor_line = [
+            l for l in
+            (GOLDEN / "golden.bi.correlations").read_text().split("\n")
+            if l.startswith("Cor(GRM")
+        ][0]
+        np.testing.assert_allclose(
+            float(cor_line.split()[1]), cg / np.sqrt(g1 * g2), rtol=2e-3
+        )
+
+    def test_regional_tables_are_consistent(self):
+        """golden.reg.regional/.lrt internal consistency: PROPORTION =
+        NSNPS/M, converged fits, and PV = 0.5 * chi2_sf(LRT, df) (the
+        reference's mixture LRT, results.cpp:38-52)."""
+        from scipy.stats import chi2
+
+        rows = (GOLDEN / "golden.reg.regional").read_text().split("\n")
+        assert rows[0].split() == ["REGION", "NSNPS", "PROPORTION",
+                                   "GLOBAL_VAR", "REGIONAL_VAR", "E_VAR",
+                                   "SUCCESS"]
+        m_total = sum(int(r.split()[1]) for r in rows[1:] if r)
+        assert m_total == 20
+        for r in rows[1:]:
+            if not r:
+                continue
+            parts = r.split()
+            np.testing.assert_allclose(
+                float(parts[2]), int(parts[1]) / m_total, rtol=1e-6
+            )
+            assert parts[6] == "1"
+        lrt_rows = (GOLDEN / "golden.reg.lrt").read_text().split("\n")
+        assert lrt_rows[0].split() == ["REMOVED", "LOGL", "LRT", "DF",
+                                       "PV", "CONVERGED"]
+        for r in lrt_rows[1:]:
+            if not r:
+                continue
+            parts = r.split()
+            lrt, df, pv = float(parts[2]), int(parts[3]), float(parts[4])
+            np.testing.assert_allclose(
+                pv, 0.5 * chi2.sf(max(lrt, 0.0), df), rtol=1e-3,
+                atol=1e-12,
+            )
+
     def test_pca_matches_numpy_eigh(self):
         from dissect_tpu.io.grm_io import read_grm
 
@@ -253,8 +427,8 @@ def test_golden_regression(tmp_path):
     base = ["--bfile", str(GOLDEN / "cohort"), "--pheno",
             str(GOLDEN / "pheno.txt"), "--mesh", "none"]
     run(["--make-grm"] + base + ["--out", f"{tmp_path}/golden"])
-    run(["--reml", "--grm", f"{tmp_path}/golden", "--blue"] + base
-        + ["--out", f"{tmp_path}/golden"])
+    run(["--reml", "--grm", f"{tmp_path}/golden", "--blue", "--snp-blup"]
+        + base + ["--out", f"{tmp_path}/golden"])
     run(["--pca", "--grm", f"{tmp_path}/golden", "--num-eval", "5"] + base
         + ["--out", f"{tmp_path}/golden"])
     run(["--gwas"] + base + ["--out", f"{tmp_path}/golden.ols"])
@@ -274,6 +448,16 @@ def test_golden_regression(tmp_path):
     run(["--predict", "--bfile", str(GOLDEN / "cohort"),
          "--snp-effects", str(GOLDEN / "eff.txt"),
          "--mesh", "none", "--out", f"{tmp_path}/golden.pred"])
+    run(["--bivar-reml", "--grm", f"{tmp_path}/golden",
+         "--bfile", str(GOLDEN / "cohort"),
+         "--pheno", str(GOLDEN / "pheno2.txt"), "--pheno-cols", "1,2",
+         "--mesh", "none", "--out", f"{tmp_path}/golden.bi"])
+    run(["--reml", "--groups", str(GOLDEN / "groups.txt")] + base
+        + ["--out", f"{tmp_path}/golden.reg"])
+    run(["--make-grm", "--diagonalize"] + base
+        + ["--out", f"{tmp_path}/golden.diag"])
+    run(["--make-grm", "--bgen", str(GOLDEN / "cohort.bgen"),
+         "--mesh", "none", "--out", f"{tmp_path}/golden.bgen"])
 
     text_outputs = [
         "golden.grm.ids", "golden.grm.snps",
@@ -286,6 +470,12 @@ def test_golden_regression(tmp_path):
         "golden.mp.mpgwas", "golden.mp.multipheno.gwas.snps",
         "golden.sim.simulated.phenos", "golden.sim.simulated.effects",
         "golden.pred.predicted.phenos",
+        # round-3 surfaces: .blup.snps (reml.cpp:3330-3346), bivariate
+        # .reml + .correlations (reml.cpp:2838-2906), regional
+        # .regional/.lrt (singlereml.cpp:230-360)
+        "golden.GRM.blup.snps",
+        "golden.bi.reml", "golden.bi.correlations",
+        "golden.reg.regional", "golden.reg.lrt",
     ]
     for name in text_outputs:
         _diff_files(tmp_path / name, GOLDEN / name, rtol=2e-5)
@@ -305,3 +495,25 @@ def test_golden_regression(tmp_path):
     raw_new = (tmp_path / "golden.grm.dat").read_bytes()
     raw_old = (GOLDEN / "golden.grm.dat").read_bytes()
     assert raw_new[:14] == raw_old[:14], "binary .grm.dat header changed"
+
+    # the diagonalized GRM (kernel.cpp:992-1002): .grm.diag eigenvalue
+    # payload + eigenvector .dat, flag byte 3
+    new_d = read_grm(f"{tmp_path}/golden.diag")
+    old_d = read_grm(str(GOLDEN / "golden.diag"))
+    assert new_d["diagonalized"] and old_d["diagonalized"]
+    np.testing.assert_allclose(
+        np.asarray(new_d["eigenvalues"]), np.asarray(old_d["eigenvalues"]),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(new_d["eigenvectors"])),
+        np.abs(np.asarray(old_d["eigenvectors"])),  # sign-free
+        rtol=1e-5, atol=1e-7,
+    )
+    # the BGEN-ingested GRM (genotypebgen.cpp) matches the stored copy
+    new_b = read_grm(f"{tmp_path}/golden.bgen")
+    old_b = read_grm(str(GOLDEN / "golden.bgen"))
+    np.testing.assert_allclose(
+        np.asarray(new_b["kernel"]), np.asarray(old_b["kernel"]),
+        rtol=1e-6, atol=1e-9,
+    )
