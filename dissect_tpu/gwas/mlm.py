@@ -304,7 +304,13 @@ def _ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, n_iterations,
         # a_mat is the SPD GLS Gram matrix; the unrolled (q,q) Cholesky
         # solve avoids XLA's batched-LU pivot loops below MAX_UNROLL_Q
         # (above it — many-PC designs — the auto variant falls back to
-        # batched LU so the unrolled graph can't blow up compile time)
+        # batched LU so the unrolled graph can't blow up compile time).
+        # Rank-deficient per-SNP designs (collinear covariates,
+        # near-zero rotated genotypes) produce NaN here where the
+        # reference falls back to an LU inverse (reml.cpp:1859-1871);
+        # those SNPs fail the gradient test, get one warm-started
+        # retry, and otherwise land in .gwas.unfitted — deliberate:
+        # a NaN surfaces, an LU solve of a singular system would not.
         b = solve_spd_auto(a_mat, rhs)
         grad = 0.5 * jnp.stack(
             [
