@@ -85,12 +85,17 @@ def _secondary_metrics(latency: float, deadline: float, details=None):
         x_rot = jnp.asarray(u.T.astype(np.float32) @ x)
         lam = jnp.asarray(w.astype(np.float32))
         theta0 = jnp.asarray([0.5, 0.5], jnp.float32)
-        float(jnp.sum(_ml_refit_core(g_rot, y_rot, x_rot, lam, theta0, 15)[0]))
+        from dissect_tpu.gwas.mlm import use_pallas_moments
+
+        pallas = use_pallas_moments(x_rot.shape[1] + 1)  # production path
+        float(jnp.sum(_ml_refit_core(
+            g_rot, y_rot, x_rot, lam, theta0, 15, use_pallas=pallas)[0]))
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
             out = _ml_refit_core(
-                g_rot * (1 + 1e-4 * i), y_rot, x_rot, lam, theta0, 15
+                g_rot * (1 + 1e-4 * i), y_rot, x_rot, lam, theta0, 15,
+                use_pallas=pallas,
             )
             float(jnp.sum(out[0]))
             ts.append(time.perf_counter() - t0)
@@ -121,6 +126,76 @@ def _secondary_metrics(latency: float, deadline: float, details=None):
         reml_ms = round(max(min(ts) - latency, 0.0) / reps * 1e3, 2)
         details["reml_dense_iteration_ms_n4096"] = reml_ms
     return reml_ms, snps_per_sec
+
+
+def _gwas_e2e_1m(latency: float, deadline: float, out):
+    """Measured end-to-end genome-scale mixed-model GWAS: 1,048,576
+    SNPs x n=4096 through the production chunked pipeline (16 chunks
+    of 65536: standardize + rotate into the eigenbasis + moment-form
+    ML refit per chunk), replacing the README's old extrapolation.
+
+    Genotypes are generated on device chunk by chunk: the chip sits
+    behind a network tunnel here, so host->device feeds would measure
+    the tunnel, not the machine (a real TPU VM streams over local
+    PCIe).  The tunnel's actual upload bandwidth is measured separately
+    on one real 256 MB int8 chunk and reported alongside."""
+    import jax
+    import jax.numpy as jnp
+
+    from dissect_tpu.gwas.mlm import _ml_refit_core
+
+    from dissect_tpu.gwas.mlm import use_pallas_moments
+
+    n, chunk, n_chunks = 4096, 65536, 16
+    use_pallas = use_pallas_moments(2)  # the production configuration
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(n, 256)).astype(np.float32)
+    k = (a @ a.T / 256 + 0.1 * np.eye(n)).astype(np.float32)
+    w, u = np.linalg.eigh(k.astype(np.float64))
+    uj = jnp.asarray(u.astype(np.float32))
+    lam = jnp.asarray(w.astype(np.float32))
+    y_rot = jnp.asarray(u.T.astype(np.float32) @ rng.normal(size=n).astype(np.float32))
+    x_rot = jnp.asarray(u.T.astype(np.float32) @ np.ones((n, 1), np.float32))
+    theta0 = jnp.asarray([0.5, 0.5], jnp.float32)
+    p2 = jnp.clip(jnp.linspace(0.05, 0.95, chunk), 0.05, 0.95)
+    mean = (2.0 * p2).astype(jnp.float32)
+    inv_std = (1.0 / jnp.sqrt(2.0 * p2 * (1.0 - p2))).astype(jnp.float32)
+
+    @jax.jit
+    def one_chunk(seed):
+        d = jax.random.randint(
+            jax.random.PRNGKey(seed), (chunk, n), -1, 3, dtype=jnp.int8
+        )
+        obs = (d >= 0).astype(jnp.float32)
+        z = obs * (d.astype(jnp.float32) - mean[:, None]) * inv_std[:, None]
+        g_rot = z @ uj
+        b, ad, th, ll, gn = _ml_refit_core(
+            g_rot, y_rot, x_rot, lam, theta0, 15, use_pallas=use_pallas
+        )
+        return b[:, -1], gn
+
+    float(jnp.sum(one_chunk(0)[0]))  # compile
+    t0 = time.perf_counter()
+    outs = [one_chunk(s + 1) for s in range(n_chunks)]
+    jax.block_until_ready(outs)
+    dt = max(time.perf_counter() - t0 - latency, 1e-9)
+    out["gwas_e2e_1m_seconds"] = round(dt, 2)
+    out["gwas_e2e_1m_snps_per_sec"] = round(n_chunks * chunk / dt)
+
+    if time.time() < deadline - 30:
+        # one REAL host->device upload of a 256 MB int8 chunk: the
+        # tunnel bandwidth a local PCIe link would replace
+        host_chunk = np.ascontiguousarray(
+            rng.integers(-1, 3, size=(chunk, n), dtype=np.int8)
+        )
+        jax.block_until_ready(jax.device_put(host_chunk[:1024]))  # warm path
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_chunk)
+        jax.block_until_ready(dev)
+        up = time.perf_counter() - t0
+        out["host_to_device_mb_per_s"] = round(
+            host_chunk.nbytes / up / 1e6, 1
+        )
 
 
 def _linalg_extras(latency: float, deadline: float, out=None):
@@ -327,6 +402,12 @@ def main():
         )
         details["reml_dense_iteration_ms_n4096"] = reml_ms
         details["mlm_ml_refit_snps_per_sec_n4096"] = gwas_snps_per_sec
+    except Exception:
+        pass
+    details["stage"] = "e2e 1M-SNP gwas"
+    try:
+        if time.time() < deadline - 120:
+            _gwas_e2e_1m(latency, deadline, details)
     except Exception:
         pass
     details["stage"] = "linalg extras"

@@ -1703,7 +1703,9 @@ class Analysis:
 
 def main(argv=None):
     from dissect_tpu.runtime.compile_cache import enable_compile_cache
+    from dissect_tpu.runtime.distributed import apply_platform_override
 
+    apply_platform_override()  # before any backend touch (log/is_root)
     enable_compile_cache()
     options = Options.parse(argv)
     log = get_logger()

@@ -166,6 +166,13 @@ class Kernel:
         in the most over-threshold pairs."""
         from dissect_tpu.runtime.distributed_io import to_host
 
+        k_dev = jnp.asarray(self.dense())
+        if getattr(k_dev, "is_fully_addressable", True):
+            # device-side gate: skip the whole-matrix fetch when no
+            # off-diagonal pair exceeds the cutoff (the common case)
+            off = jnp.abs(k_dev - jnp.diag(jnp.diagonal(k_dev)))
+            if not bool(jnp.any(off > cutoff)):
+                return self
         k = to_host(self.dense())
         n = k.shape[0]
         over = (np.abs(np.triu(k, 1)) > cutoff)
@@ -188,6 +195,15 @@ class Kernel:
             return self
         from dissect_tpu.runtime.distributed_io import to_host
 
+        # gate with a device-side reduction: fetching the full counts
+        # matrix costs a whole-matrix device->host transfer (a real
+        # cost on PCIe, a dominant one through a chip tunnel) and in
+        # the common no/low-missingness case nothing is pruned
+        c_dev = jnp.asarray(self.counts)
+        if getattr(c_dev, "is_fully_addressable", True):
+            cmax = c_dev.max()
+            if not bool(jnp.any(c_dev < cmax * min_overlap_ratio)):
+                return self
         c = to_host(self.counts)
         threshold = c.max() * min_overlap_ratio
         bad_pairs = c < threshold

@@ -58,7 +58,9 @@ def _tpu_platform() -> bool:
     """True when this process targets an accelerator backend (no CPU in
     JAX_PLATFORMS).  TPU executables are serialized for the device, not
     the host CPU — they are valid on any host that can reach the chip."""
-    plat = os.environ.get("JAX_PLATFORMS", "")
+    plat = os.environ.get(
+        "DISSECT_TPU_PLATFORM", os.environ.get("JAX_PLATFORMS", "")
+    )
     return bool(plat) and "cpu" not in plat.lower().split(",")
 
 

@@ -92,9 +92,27 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[MeshContext]:
     return MeshContext.create(devices)
 
 
+def apply_platform_override() -> None:
+    """Honor DISSECT_TPU_PLATFORM (e.g. 'cpu'): an explicit platform
+    override that survives environments where a site hook re-forces
+    JAX_PLATFORMS (e.g. a TPU-tunnel image).  Must run before ANY
+    backend use — call it first thing in the CLI main()."""
+    plat = os.environ.get("DISSECT_TPU_PLATFORM")
+    if not plat:
+        return
+    import jax
+
+    if jax.config.jax_platforms != plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass  # backend already initialized; keep what we have
+
+
 def startup_runtime(args) -> Optional[MeshContext]:
     """CLI startup (the main.cpp:57 analog): distributed init + global
     mesh.  Returns the MeshContext (None with --mesh none)."""
+    apply_platform_override()
     maybe_initialize_distributed()
     ctx = parse_mesh_spec(getattr(args, "mesh", "auto"))
     set_mesh_context(ctx)
