@@ -811,7 +811,7 @@ class Analysis:
 
         # the --parallel-gwas analog (gwas.cpp:557-687): shard the SNP
         # axis of every chunk over the mesh; y/X/V stay replicated
-        ctx = use_distributed(a, len(common))
+        ctx = use_distributed(a, len(common), force=a.parallel_gwas)
         if covariance is not None:
             lam, u, (vg, ve) = covariance
             if a.gwas_use_null_variances:
@@ -1169,7 +1169,8 @@ class Analysis:
         data = data.filter(keep_individuals=common)
         z = _centered_genotypes(data)
         res = mp_gwas(
-            z, data.snp_names, lm, mesh_ctx=use_distributed(a, len(common))
+            z, data.snp_names, lm,
+            mesh_ctx=use_distributed(a, len(common), force=a.parallel_gwas),
         )
         res.write(a.out)
         self._write_mpgwas_reference_file(res, data)
@@ -1300,7 +1301,7 @@ class Analysis:
             ),
             covariance=covariance,
             initial_h2=a.initial_h2,
-            mesh_ctx=use_distributed(a, len(common)),
+            mesh_ctx=use_distributed(a, len(common), force=a.parallel_gwas),
         )
         res.write(a.out)
         self._write_igwas_reference_files(res, data, stats)

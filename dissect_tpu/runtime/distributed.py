@@ -119,16 +119,20 @@ def startup_runtime(args) -> Optional[MeshContext]:
     return ctx
 
 
-def use_distributed(args, n_individuals: int) -> Optional[MeshContext]:
+def use_distributed(
+    args, n_individuals: int, force: bool = False
+) -> Optional[MeshContext]:
     """The mesh to run this analysis on, or None for the single-device
     path.  Engaged above --distributed-threshold individuals (the
     reference is grid-distributed unconditionally, communicator.cpp:40;
     on TPU one chip is FASTER below the HBM limit, so the sharded
-    engines only pay off at scale) or under --force-distributed."""
+    engines only pay off at scale), under --force-distributed, or when
+    the caller forces it (e.g. --parallel-gwas for the SNP-axis
+    sharding, gwas.cpp:557-687)."""
     ctx = get_mesh_context()
     if ctx is None or ctx.n_devices <= 1:
         return None
-    if getattr(args, "force_distributed", False):
+    if force or getattr(args, "force_distributed", False):
         return ctx
     if n_individuals >= getattr(args, "distributed_threshold", 16384):
         return ctx

@@ -257,8 +257,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="maximum fitted-SNPs/individuals ratio per "
                       "recursive iteration (options.cpp:799-802)")
     gwas.add_argument("--parallel-gwas", action="store_true",
-                      help="accepted for compatibility; per-SNP tests are "
-                      "always batched on the accelerator")
+                      help="shard the SNP axis of the per-SNP tests over the "
+                      "device mesh regardless of --distributed-threshold "
+                      "(the grouped-communicator parallel GWAS, "
+                      "gwas.cpp:557-687); per-SNP tests are always batched "
+                      "on the accelerator even without it")
     gwas.add_argument("--nonparallel-gwas", action="store_true",
                       help="accepted for compatibility (see --parallel-gwas)")
     gwas.add_argument("--group-all", action="store_true",

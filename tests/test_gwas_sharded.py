@@ -175,3 +175,34 @@ def test_cli_gwas_ols_distributed(tmp_path, rng):
     p1 = np.loadtxt(f"{tmp_path}/s.gwas.snps", skiprows=1, usecols=(8,))
     p8 = np.loadtxt(f"{tmp_path}/d.gwas.snps", skiprows=1, usecols=(8,))
     np.testing.assert_allclose(p8, p1, rtol=1e-4, atol=1e-10)
+
+
+def test_parallel_gwas_flag_engages_mesh(tmp_path, rng):
+    """--parallel-gwas shards the SNP axis even below
+    --distributed-threshold (the reference flag that split the grid
+    into grouped communicators, gwas.cpp:557-687) and produces the
+    same results as the unsharded run."""
+    from dissect_tpu.analysis.dispatcher import main
+    from dissect_tpu.runtime.mesh import set_mesh_context
+
+    d = make_dosage(rng, 30, 40)
+    bfile, _ = make_plink(tmp_path, d, prefix="c")
+    y = d[:4].sum(0) * 0.3 + rng.normal(size=40)
+    pheno = tmp_path / "p.txt"
+    with open(pheno, "w") as fh:
+        for i in range(40):
+            fh.write(f"F{i} I{i} {y[i]:.6f}\n")
+
+    def run(args):
+        try:
+            main(args)
+        finally:
+            set_mesh_context(None)
+
+    run(["--gwas", "--bfile", bfile, "--pheno", str(pheno),
+         "--out", f"{tmp_path}/s", "--mesh", "none"])
+    run(["--gwas", "--bfile", bfile, "--pheno", str(pheno),
+         "--out", f"{tmp_path}/d", "--mesh", "8", "--parallel-gwas"])
+    p1 = np.loadtxt(f"{tmp_path}/s.gwas.snps", skiprows=1, usecols=(8,))
+    p8 = np.loadtxt(f"{tmp_path}/d.gwas.snps", skiprows=1, usecols=(8,))
+    np.testing.assert_allclose(p8, p1, rtol=1e-4, atol=1e-10)
