@@ -292,16 +292,28 @@ def distributed_eigh(
         eps = float(jnp.finfo(a_sub.dtype).eps)
         inv_tol = 100.0 * math.sqrt(eps)
         eye = jnp.eye(m, dtype=a_sub.dtype)
+        # involution probe: || U (U v) - v || over a few random vectors
+        # is O(m^2) per candidate where the exact || U^2 - I ||_F check
+        # costs a whole extra m^3 matmul; the sign map's failure mode
+        # (sigma on an eigenvalue) inflates the residual by orders of
+        # magnitude, so a probe discriminates just as reliably
+        probes = jnp.asarray(
+            rng.standard_normal((m, 4)) / math.sqrt(m), a_sub.dtype
+        )
         split = None
         for sigma in candidates:
             u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
-            tr = float(jnp.trace(u))
+            # one fused fetch: trace + probe residual
+            tr_dev = jnp.trace(u)
+            err_dev = jnp.linalg.norm(
+                u @ (u @ probes) - probes
+            ) / jnp.linalg.norm(probes)
+            tr, inv_err = (float(tr_dev), float(err_dev))
             if not math.isfinite(tr):
                 continue
             k = int(round((m - tr) / 2.0))
             if k <= 0 or k >= m:
                 continue
-            inv_err = float(jnp.linalg.norm(u @ u - eye)) / math.sqrt(m)
             if not math.isfinite(inv_err) or inv_err > inv_tol:
                 continue
             split = (u, k)
