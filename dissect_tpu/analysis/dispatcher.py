@@ -962,6 +962,7 @@ class Analysis:
             correlation_threshold=a.snp_corr_threshold,
             compute_effects=a.group_effects,
             covariance=covariance,
+            mesh_ctx=use_distributed(a, len(y), force=a.parallel_gwas),
         )
         name_to_snp = {s.name: s for s in data.snps}
         name_to_i = {s.name: i for i, s in enumerate(data.snps)}

@@ -95,6 +95,7 @@ def grouped_gwas(
     covariance=None,
     ml_iterations: int = 15,
     dtype=None,
+    mesh_ctx=None,
 ) -> Tuple[Dict[str, GroupResult], Optional[LabeledMatrix]]:
     """Joint fit per SNP group, batched by group size.
 
@@ -103,6 +104,12 @@ def grouped_gwas(
     mixed-model kernel: per-group ML refits in the eigenbasis with the
     chi2 likelihood-ratio GROUPPV against the covariates-only ML fit
     (computeGroupSignificance's MLModelType branch, gwas.cpp:940-957).
+
+    With `mesh_ctx`, each size-bucket's group axis is sharded over the
+    whole mesh (the grouped-communicator parallel path applied to
+    grouped fits, gwas.cpp:557-687): the batched solvers lead with the
+    group axis, so XLA SPMD splits the joint fits across chips; padded
+    batch rows (repeats of the last group) are discarded below.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -159,26 +166,40 @@ def grouped_gwas(
         gs = np.stack(
             [g_all[[name_to_idx[s] for s in filtered[g][0]]] for g in group_list]
         )
+        n_groups = len(group_list)
+
+        def batched(arr):
+            """Device placement for a (B, ...) group batch: sharded
+            over the mesh's group axis when a mesh is given."""
+            if mesh_ctx is None:
+                return jnp.asarray(arr, dtype=dtype)
+            from dissect_tpu.runtime.distributed_io import shard_snp_rows
+
+            sharded, _ = shard_snp_rows(
+                np.asarray(arr, dtype=np.float64), mesh_ctx
+            )
+            return jnp.asarray(sharded, dtype=dtype)
+
         p_coef = c + size
         df = n - p_coef
         h = p_coef - c
         if covariance is not None:
             gs_rot = np.einsum("bsn,nm->bsm", gs, u)
             bs, a_inv_diags, _, logls, grad_norms = _joint_ml_batch(
-                jnp.asarray(gs_rot, dtype=dtype), y_rot, x_rot, lam, theta0,
+                batched(gs_rot), y_rot, x_rot, lam, theta0,
                 ml_iterations,
             )
-            bs = np.asarray(bs, dtype=np.float64)
-            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
-            logls = np.asarray(logls, dtype=np.float64)
-            grad_norms = np.asarray(grad_norms, dtype=np.float64)
+            bs = np.asarray(bs, dtype=np.float64)[:n_groups]
+            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)[:n_groups]
+            logls = np.asarray(logls, dtype=np.float64)[:n_groups]
+            grad_norms = np.asarray(grad_norms, dtype=np.float64)[:n_groups]
         else:
             bs, a_inv_diags, btxtys = _joint_ols_batch(
-                jnp.asarray(gs, dtype=dtype), yj, xj
+                batched(gs), yj, xj
             )
-            bs = np.asarray(bs, dtype=np.float64)
-            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)
-            btxtys = np.asarray(btxtys, dtype=np.float64)
+            bs = np.asarray(bs, dtype=np.float64)[:n_groups]
+            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)[:n_groups]
+            btxtys = np.asarray(btxtys, dtype=np.float64)[:n_groups]
         for bi, group in enumerate(group_list):
             kept, dropped = filtered[group]
             if covariance is not None:

@@ -206,3 +206,38 @@ def test_parallel_gwas_flag_engages_mesh(tmp_path, rng):
     p1 = np.loadtxt(f"{tmp_path}/s.gwas.snps", skiprows=1, usecols=(8,))
     p8 = np.loadtxt(f"{tmp_path}/d.gwas.snps", skiprows=1, usecols=(8,))
     np.testing.assert_allclose(p8, p1, rtol=1e-4, atol=1e-10)
+
+
+def test_grouped_gwas_sharded_equals_single(ctx, rng):
+    """Bucketed joint group fits sharded over the mesh's group axis
+    equal the single-device run (OLS and mixed-model buckets)."""
+    from collections import OrderedDict
+
+    from dissect_tpu.gwas.grouped import grouped_gwas
+
+    m, n = 36, 48
+    d = make_dosage(rng, m, n)
+    z = (d - d.mean(1, keepdims=True)).astype(np.float64)
+    names = [f"s{i}" for i in range(m)]
+    grouping = OrderedDict(
+        (f"g{j}", [f"s{i}" for i in range(j * 4, j * 4 + 4)])
+        for j in range(9)
+    )  # 9 groups of 4 -> padded to 16 on an 8-device mesh
+    y = z[:5].sum(0) * 0.3 + rng.normal(size=n)
+    x = np.ones((n, 1))
+    a = rng.normal(size=(n, 12))
+    k = a @ a.T / 12 + 0.1 * np.eye(n)
+    lam, u = np.linalg.eigh(k)
+    for cov in (None, (lam, u, (0.5, 0.5))):
+        ref, _ = grouped_gwas(z, names, grouping, y, x, covariance=cov)
+        res, _ = grouped_gwas(
+            z, names, grouping, y, x, covariance=cov, mesh_ctx=ctx
+        )
+        assert ref.keys() == res.keys()
+        for g in ref:
+            np.testing.assert_allclose(
+                res[g].beta, ref[g].beta, rtol=1e-6, atol=1e-10
+            )
+            np.testing.assert_allclose(
+                res[g].f_p_value, ref[g].f_p_value, rtol=1e-5, atol=1e-12
+            )
