@@ -1120,12 +1120,14 @@ class Analysis:
         )
         phenos = self.load_phenotypes(columns)
         covar = self.load_covariate(phenos[0].keys)
+        ctx = use_distributed(a, kern.n)
         lm = compute_mp_residuals(
             kern,
             phenos,
             [f"pheno_{c}" for c in columns],
             covar,
             self.options.reml_options(),
+            mesh=ctx.flat if ctx else None,
         )
         lm.save(a.out + ".residuals")
         self.log.message(f"residuals stored at [ {a.out}.residuals.* ]")

@@ -43,6 +43,7 @@ def compute_mp_residuals(
     phenotype_names: Optional[Sequence[str]] = None,
     covariate: Optional[Covariate] = None,
     options: Optional[REMLOptions] = None,
+    mesh=None,
 ) -> LabeledMatrix:
     """Per-phenotype REML residuals in the GRM eigenbasis.
 
@@ -63,7 +64,7 @@ def compute_mp_residuals(
         raise ValueError("no common individuals")
     n = len(common)
 
-    kern = kernel.filter_individuals(common).diagonalize()
+    kern = kernel.filter_individuals(common).diagonalize(mesh=mesh)
     u = np.asarray(kern.eigenvectors, dtype=np.float64)
     lam = np.asarray(kern.eigenvalues, dtype=np.float64)
     x = covariate.filter_individuals(common).matrix
