@@ -1402,6 +1402,7 @@ class Analysis:
             iteration_thresholds=a.rgwas_thresholds,
             max_fit_ratio=a.rgwas_ratio,
             covariance=covariance,
+            mesh_ctx=use_distributed(a, len(common), force=a.parallel_gwas),
         )
         with result_open(a.out + ".rgwas") as fh:
             fh.write("SNP\n")

@@ -291,6 +291,7 @@ def recursive_gwas(
     iteration_thresholds: Optional[Sequence[float]] = None,
     max_fit_ratio: Optional[float] = None,
     covariance=None,
+    mesh_ctx=None,
 ) -> Tuple[List[str], Dict[str, GroupResult]]:
     """Iterative grouped fit -> keep significant -> regroup
     (computeRecursiveGWAS, gwas.cpp:239-284).  Returns the fixed-point
@@ -321,6 +322,7 @@ def recursive_gwas(
             sub, current, grouping, y, x,
             significance_threshold=significance_threshold,
             covariance=covariance,
+            mesh_ctx=mesh_ctx,
         )
         last_results = results
         kept: List[Tuple[float, str]] = []
