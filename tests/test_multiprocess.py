@@ -58,6 +58,7 @@ def test_two_process_grm_matches_single(tmp_path, rng):
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
     env["PYTHONPATH"] = str(REPO)
+    env["DISSECT_TPU_PLATFORM"] = "cpu"  # belt-and-braces platform pin
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), coordinator, bfile,
@@ -70,7 +71,7 @@ def test_two_process_grm_matches_single(tmp_path, rng):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
