@@ -303,12 +303,14 @@ def distributed_eigh(
         split = None
         for sigma in candidates:
             u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
-            # one fused fetch: trace + probe residual
+            # ONE device_get for both scalars: through a remote chip
+            # tunnel every host sync costs a full round trip, and the
+            # recursion does one of these per shift candidate
             tr_dev = jnp.trace(u)
             err_dev = jnp.linalg.norm(
                 u @ (u @ probes) - probes
             ) / jnp.linalg.norm(probes)
-            tr, inv_err = (float(tr_dev), float(err_dev))
+            tr, inv_err = map(float, jax.device_get((tr_dev, err_dev)))
             if not math.isfinite(tr):
                 continue
             k = int(round((m - tr) / 2.0))
@@ -331,9 +333,10 @@ def distributed_eigh(
         a2 = q2.T @ (a_sub @ q2)
         a1 = constrain(0.5 * (a1 + a1.T))
         a2 = constrain(0.5 * (a2 + a2.T))
-        if not (
-            bool(jnp.all(jnp.isfinite(a1))) and bool(jnp.all(jnp.isfinite(a2)))
-        ):
+        fin1, fin2 = jax.device_get(
+            (jnp.all(jnp.isfinite(a1)), jnp.all(jnp.isfinite(a2)))
+        )
+        if not (bool(fin1) and bool(fin2)):
             return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
         w1, v1 = rec(a1, depth + 1)
         w2, v2 = rec(a2, depth + 1)
