@@ -585,6 +585,7 @@ class Analysis:
             environmental_weights=env_weights,
             scale_weights=not a.no_scale_weights,
             mesh=ctx.flat if ctx else None,
+            distributed_block=a.default_block_size,
         )
 
         initial_variances = None
@@ -863,7 +864,8 @@ class Analysis:
                 "(internal REML fit, gwas.cpp:1506-1592)"
             )
             driver = SingleREML(
-                kernels, pheno, covar, self.options.reml_options(), mesh=mesh
+                kernels, pheno, covar, self.options.reml_options(), mesh=mesh,
+                distributed_block=a.default_block_size,
             )
             fit = driver.compute(compute_blue=False)
             if not fit.result.success:

@@ -358,7 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
     misc.add_argument("--verbose", action="store_true")
     misc.add_argument("--zout", action="store_true", help="gzip result files")
     misc.add_argument("--default-block-size", type=int, default=None,
-                      help="accepted for compatibility; sharding is mesh-driven")
+                      help="Cholesky panel width for the distributed "
+                      "engines (the BLACS_BLOCKSIZE analog, "
+                      "communicator.cpp:82-96; auto-picked when unset)")
     misc.add_argument("--check", action="store_true",
                       help="parse and echo options, run no analysis")
     misc.add_argument("--debug", action="store_true",

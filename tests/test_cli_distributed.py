@@ -152,3 +152,21 @@ def test_mesh_spec_parsing():
     assert ctx.n_devices == 4
     with pytest.raises(ValueError):
         parse_mesh_spec("4x4")
+
+
+def test_cli_default_block_size_reml(cohort):
+    """--default-block-size (the BLACS_BLOCKSIZE analog) sets the
+    distributed Cholesky panel width; results are block-size
+    independent (ScaLAPACK semantics)."""
+    bfile, pheno, tmp = cohort
+    _run(["--make-grm", "--bfile", bfile, "--out", f"{tmp}/g",
+          "--mesh", "none"])
+    _run(["--reml", "--grm", f"{tmp}/g", "--pheno", pheno,
+          "--out", f"{tmp}/rb", "--default-block-size", "4"] + DIST)
+    _run(["--reml", "--grm", f"{tmp}/g", "--pheno", pheno,
+          "--out", f"{tmp}/rs2", "--mesh", "none"])
+    vb = [l for l in open(f"{tmp}/rb.reml") if l.startswith("Var(GRM)")][0]
+    vs = [l for l in open(f"{tmp}/rs2.reml") if l.startswith("Var(GRM)")][0]
+    np.testing.assert_allclose(
+        float(vb.split()[1]), float(vs.split()[1]), rtol=5e-4, atol=1e-6
+    )
