@@ -422,10 +422,22 @@ def mlm_gwas_ml_refit(
             theta_warm = jnp.asarray(
                 fit_thetas.mean(axis=0).astype(np.float64), dtype=dtype
             )
-            g_sub = jnp.asarray(np.asarray(g_rot)[idx])
-            b2, ad2, th2, ll2, gn2 = _ml_refit_core(
-                g_sub, y_rot, x_rot, lam, theta_warm, 2 * n_iterations,
-                use_pallas=False,
+            # pad the subset to the next power of two: every chunk of a
+            # genome-scale run has a different unfitted count, and an
+            # exact-shape retry would compile one program per chunk
+            g_np = np.asarray(g_rot)[idx]
+            padded = 1 << max(int(np.ceil(np.log2(len(idx)))), 3)
+            if padded > len(idx):
+                g_np = np.concatenate(
+                    [g_np, np.repeat(g_np[-1:], padded - len(idx), axis=0)]
+                )
+            g_sub = jnp.asarray(g_np)
+            b2, ad2, th2, ll2, gn2 = (
+                v[: len(idx)]
+                for v in _ml_refit_core(
+                    g_sub, y_rot, x_rot, lam, theta_warm, 2 * n_iterations,
+                    use_pallas=False,
+                )
             )
             b, a_inv_diag, thetas, logl, grad_norm = (
                 np.asarray(v).copy()
