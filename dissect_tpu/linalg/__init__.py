@@ -18,6 +18,7 @@ what remains to implement is the numerics ScaLAPACK provided:
 from dissect_tpu.linalg.syrk import syrk, grm_accumulator
 from dissect_tpu.linalg.spd import (
     spd_inverse_logdet,
+    fallback_inverse_logdet,
     lu_inverse_logdet,
     cholesky_logdet,
 )

@@ -58,6 +58,33 @@ def spd_solve(v, b):
     return x, logdet, ok
 
 
+# XLA's TPU LU custom call stages f32[n,128] panels in scoped VMEM and
+# fails to COMPILE above roughly this many rows ("Ran out of memory in
+# memory space vmem ... LuDecompositionBlock", observed at n=20000 on
+# v5e) — and a lax.cond compiles BOTH branches, so merely carrying the
+# LU fallback kills huge-V REML.  Above the limit the non-PD fallback
+# is a ridge-jittered Cholesky instead.
+LU_FALLBACK_MAX_N = 16384
+
+
+def fallback_inverse_logdet(v):
+    """Non-PD fallback inverse for the REML covariance.
+
+    Below LU_FALLBACK_MAX_N: general LU inverse with the GCTA
+    absolute log-det (Matrix::invert parity, reml.cpp:1859-1871).
+    Above it: Cholesky of V + sqrt(eps)*mean|diag| * I — the standard
+    ridge repair for barely-indefinite covariances; genuinely singular
+    V still reports ok=False and the engine stops gracefully.  Shape
+    is static at trace time, so the choice costs nothing in-graph."""
+    n = v.shape[-1]
+    if n <= LU_FALLBACK_MAX_N:
+        return lu_inverse_logdet(v)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(v)))
+    eps = jnp.asarray(jnp.finfo(v.dtype).eps, v.dtype)
+    jitter = scale * jnp.sqrt(eps)
+    return spd_inverse_logdet(v + jitter * jnp.eye(n, dtype=v.dtype))
+
+
 @jax.jit
 def lu_inverse_logdet(v):
     """General inverse + GCTA-style absolute log-det via LU.

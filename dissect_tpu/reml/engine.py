@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from dissect_tpu.linalg.small import MAX_UNROLL_Q, cholesky_diag_small, inv_spd_small
-from dissect_tpu.linalg.spd import lu_inverse_logdet, spd_inverse_logdet
+from dissect_tpu.linalg.spd import (
+    fallback_inverse_logdet,
+    lu_inverse_logdet,
+    spd_inverse_logdet,
+)
 from dissect_tpu.model.covariance import (
     CovarianceModel,
     ParameterType,
@@ -726,7 +730,7 @@ def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     vi, logdet_v, _ = jax.lax.cond(
         ok_v,
         lambda _: (vi_c, logdet_c, ok_v),
-        lambda _: lu_inverse_logdet(v),
+        lambda _: fallback_inverse_logdet(v),
         operand=None,
     )
     vix = vi @ x
@@ -894,7 +898,7 @@ def _dense_quantities_autodiff(cc, theta, y, x, use_ml=False, use_f_matrix=False
     vi, logdet_v, _ = jax.lax.cond(
         ok_v,
         lambda _: (vi_c, logdet_c, ok_v),
-        lambda _: lu_inverse_logdet(v),
+        lambda _: fallback_inverse_logdet(v),
         operand=None,
     )
     vix = vi @ x
