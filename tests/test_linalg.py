@@ -186,3 +186,45 @@ class TestSmallSpd:
             np.linalg.solve(a4, b4[..., None])[..., 0],
             atol=1e-9,
         )
+
+
+class TestFallbackInverse:
+    def test_small_uses_lu(self):
+        """Below the threshold the fallback is the exact LU inverse of
+        an indefinite (non-PD but invertible) matrix."""
+        from dissect_tpu.linalg.spd import fallback_inverse_logdet
+
+        rng = np.random.default_rng(0)
+        q, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+        w = np.array([3.0, 2.5, 2.0, 1.5, 1.0, 0.5, -0.4, -0.8])
+        v = (q * w) @ q.T  # indefinite, invertible
+        vi, logdet, ok = fallback_inverse_logdet(jnp.asarray(v))
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(vi), np.linalg.inv(v), rtol=1e-8, atol=1e-10
+        )
+        # GCTA absolute log-det (signs discarded)
+        np.testing.assert_allclose(
+            float(logdet), np.sum(np.log(np.abs(w))), rtol=1e-10
+        )
+
+    def test_large_uses_jittered_cholesky(self, monkeypatch):
+        """Above the threshold (patched down for the test) a barely
+        non-PD matrix is ridge-repaired instead of LU-inverted — the
+        path that XLA's TPU LU kernel cannot compile at 20k rows."""
+        from dissect_tpu.linalg import spd
+
+        monkeypatch.setattr(spd, "LU_FALLBACK_MAX_N", 4)
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(12, 6))
+        v = a @ a.T  # PSD, rank-deficient -> Cholesky may fail raw
+        vi, logdet, ok = spd.fallback_inverse_logdet(jnp.asarray(v))
+        assert bool(ok)
+        assert np.isfinite(np.asarray(vi)).all() and np.isfinite(float(logdet))
+        # a strongly indefinite matrix is NOT silently repaired
+        q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+        w = np.linspace(1.0, 12.0, 12)
+        w[0] = -5.0
+        bad = (q * w) @ q.T
+        _, _, ok_bad = spd.fallback_inverse_logdet(jnp.asarray(bad))
+        assert not bool(ok_bad)
