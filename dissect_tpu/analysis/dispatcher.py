@@ -57,6 +57,11 @@ def _centered_genotypes(data, stats=None) -> np.ndarray:
     return np.where(observed, filled - stats.mean[:, None], 0.0)
 
 
+# SNPs per device dispatch for genome-scale streaming (bounds host and
+# device memory; the batched analog of the reference's per-file loop)
+GWAS_CHUNK_SNPS = 65536
+
+
 def _trim_gwas_results(res, m: int):
     """Trim padded SNP rows (from mesh-divisibility padding) off every
     per-SNP array field of a GwasResults."""
@@ -70,7 +75,7 @@ def _trim_gwas_results(res, m: int):
     return res
 
 
-def _chunked_gwas(fn, z, chunk: int = 65536, ctx=None):
+def _chunked_gwas(fn, z, chunk: int = None, ctx=None):
     """Run a per-SNP GWAS solver over SNP blocks and concatenate —
     bounds device/host memory at genome scale (the batched analog of
     the reference's per-file streaming loop, gwas.cpp:126-312).
@@ -83,6 +88,8 @@ def _chunked_gwas(fn, z, chunk: int = 65536, ctx=None):
     chunk's results are pulled back, overlapping PCIe/ICI transfer
     with device compute (the streaming analog of the reference's
     block-row BED reads, genotype.cpp:639-707)."""
+    if chunk is None:
+        chunk = GWAS_CHUNK_SNPS
     if ctx is not None:
         from dissect_tpu.runtime.distributed_io import shard_snp_rows
 
@@ -1172,11 +1179,36 @@ class Analysis:
         common = intersection_keeping_order(lm.row_labels, data.individual_keys)
         lm = lm.filter(keep_rows=common)
         data = data.filter(keep_individuals=common)
-        z = _centered_genotypes(data)
-        res = mp_gwas(
-            z, data.snp_names, lm,
-            mesh_ctx=use_distributed(a, len(common), force=a.parallel_gwas),
-        )
+        ctx = use_distributed(a, len(common), force=a.parallel_gwas)
+        # genome-scale: stream SNP chunks instead of materializing the
+        # full (M, N) float matrix on host (gwasmp.cpp's per-file loop)
+        chunk = GWAS_CHUNK_SNPS
+        if data.n_snps <= chunk:
+            res = mp_gwas(
+                _centered_genotypes(data), data.snp_names, lm, mesh_ctx=ctx
+            )
+        else:
+            lm_centered = lm.center_columns()
+            parts = []
+            for start in range(0, data.n_snps, chunk):
+                keep = data.snp_names[start : start + chunk]
+                sub = data.filter(keep_snps=keep)
+                parts.append(
+                    mp_gwas(
+                        _centered_genotypes(sub), keep, lm_centered,
+                        center=False, mesh_ctx=ctx,
+                    )
+                )
+            from dissect_tpu.gwas.mp import MpGwasResults
+
+            res = MpGwasResults(
+                snp_names=sum((p_.snp_names for p_ in parts), []),
+                phenotype_names=parts[0].phenotype_names,
+                beta=np.concatenate([p_.beta for p_ in parts]),
+                se=np.concatenate([p_.se for p_ in parts]),
+                t=np.concatenate([p_.t for p_ in parts]),
+                p=np.concatenate([p_.p for p_ in parts]),
+            )
         res.write(a.out)
         self._write_mpgwas_reference_file(res, data)
         self.log.message(
@@ -1295,19 +1327,50 @@ class Analysis:
                 np.asarray(diag.eigenvalues, dtype=np.float64),
                 np.asarray(diag.eigenvectors, dtype=np.float64),
             )
-        res = igwas(
-            z,
-            data.snp_names,
-            covar.matrix,
-            covar.column_names,
-            test_x=test_covar.matrix if test_covar is not None else None,
-            test_names=(
-                test_covar.column_names if test_covar is not None else None
-            ),
-            covariance=covariance,
-            initial_h2=a.initial_h2,
-            mesh_ctx=use_distributed(a, len(common), force=a.parallel_gwas),
-        )
+        mesh_ctx = use_distributed(a, len(common), force=a.parallel_gwas)
+
+        def run_igwas(zc, names):
+            return igwas(
+                zc,
+                names,
+                covar.matrix,
+                covar.column_names,
+                test_x=test_covar.matrix if test_covar is not None else None,
+                test_names=(
+                    test_covar.column_names
+                    if test_covar is not None
+                    else None
+                ),
+                covariance=covariance,
+                initial_h2=a.initial_h2,
+                mesh_ctx=mesh_ctx,
+            )
+
+        chunk = GWAS_CHUNK_SNPS
+        if z.shape[0] <= chunk:
+            res = run_igwas(z, data.snp_names)
+        else:
+            # genome-scale: per-chunk SNP-as-outcome fits, concatenated
+            # (the grouped-communicator igwas loop, igwas.cpp:328-341)
+            import dataclasses as _dc
+
+            parts = [
+                run_igwas(
+                    z[st : st + chunk], data.snp_names[st : st + chunk]
+                )
+                for st in range(0, z.shape[0], chunk)
+            ]
+            cat = lambda f: (
+                None
+                if getattr(parts[0], f) is None
+                else np.concatenate([getattr(p_, f) for p_ in parts])
+            )
+            res = _dc.replace(
+                parts[0],
+                snp_names=sum((p_.snp_names for p_ in parts), []),
+                beta=cat("beta"), se=cat("se"), p=cat("p"),
+                group_p=cat("group_p"), converged=cat("converged"),
+            )
         res.write(a.out)
         self._write_igwas_reference_files(res, data, stats)
         self.log.message(

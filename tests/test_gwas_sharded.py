@@ -241,3 +241,54 @@ def test_grouped_gwas_sharded_equals_single(ctx, rng):
             np.testing.assert_allclose(
                 res[g].f_p_value, ref[g].f_p_value, rtol=1e-5, atol=1e-12
             )
+
+
+def test_mpgwas_and_igwas_chunked_dispatch(tmp_path, rng, monkeypatch):
+    """Genome-scale chunked streaming for mpgwas and igwas (chunk
+    patched small): identical outputs to the one-shot run."""
+    import dissect_tpu.analysis.dispatcher as disp
+    from dissect_tpu.analysis.dispatcher import main
+    from dissect_tpu.runtime.mesh import set_mesh_context
+
+    d = make_dosage(rng, 50, 40)
+    bfile, _ = make_plink(tmp_path, d, prefix="c")
+    y = d[:4].sum(0) * 0.3 + rng.normal(size=40)
+    y2 = d[4:8].sum(0) * 0.3 + rng.normal(size=40)
+    pheno = tmp_path / "p.txt"
+    with open(pheno, "w") as fh:
+        for i in range(40):
+            fh.write(f"F{i} I{i} {y[i]:.6f} {y2[i]:.6f}\n")
+    tc = tmp_path / "tc.txt"
+    with open(tc, "w") as fh:
+        for i in range(40):
+            fh.write(f"F{i} I{i} {rng.normal():.6f}\n")
+
+    def run(args):
+        try:
+            main(args)
+        finally:
+            set_mesh_context(None)
+
+    base = ["--bfile", bfile, "--pheno", str(pheno), "--mesh", "none"]
+    run(["--make-grm"] + base + ["--out", f"{tmp_path}/g"])
+    run(["--mpresiduals", "--grm", f"{tmp_path}/g"] + base
+        + ["--out", f"{tmp_path}/one"])
+    run(["--mpgwas"] + base + ["--out", f"{tmp_path}/one"])
+    run(["--igwas", "--bfile", bfile, "--igwas-qcovar", str(tc),
+         "--mesh", "none", "--out", f"{tmp_path}/ig1"])
+
+    monkeypatch.setattr(disp, "GWAS_CHUNK_SNPS", 16)
+    import shutil
+    for suffix in (".residuals.dat", ".residuals.rowids",
+                   ".residuals.colids"):
+        shutil.copy(f"{tmp_path}/one{suffix}", f"{tmp_path}/two{suffix}")
+    run(["--mpgwas"] + base + ["--out", f"{tmp_path}/two"])
+    run(["--igwas", "--bfile", bfile, "--igwas-qcovar", str(tc),
+         "--mesh", "none", "--out", f"{tmp_path}/ig2"])
+
+    a = open(f"{tmp_path}/one.mpgwas").read()
+    b = open(f"{tmp_path}/two.mpgwas").read()
+    assert a == b
+    a = open(f"{tmp_path}/ig1.igwas").read()
+    b = open(f"{tmp_path}/ig2.igwas").read()
+    assert a == b
