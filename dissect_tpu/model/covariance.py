@@ -490,6 +490,35 @@ class CompiledCovariance:
             outs.append(out)
         return jnp.stack(outs)
 
+    def elements_times_matrix(self, u: jax.Array) -> jax.Array:
+        """M_e^(placed) @ U for every element, U (n_total, c) ->
+        (E, n_total, c).  The tall-skinny companion of
+        `elements_times_vector`, used to form tr(P M_e) without ever
+        materializing the dense P (P is rank-c off V^-1)."""
+        off = self.offsets
+        nt = self.n_total
+        c = u.shape[1]
+        outs = []
+        for ei in range(self.n_elements):
+            m = self.element_matrices[ei]
+            ti, tj = self.blocks[ei]
+            ri, ci = off[ti], off[tj]
+            out = jnp.zeros((nt, c), dtype=u.dtype)
+            if self.diagonal:
+                nr = nc = m.shape[0]
+                out = out.at[ri : ri + nr].add(m[:, None] * u[ci : ci + nc])
+                if ti != tj:
+                    out = out.at[ci : ci + nc].add(
+                        m[:, None] * u[ri : ri + nr]
+                    )
+            else:
+                nr, nc = m.shape
+                out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
+                if ti != tj:
+                    out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
+            outs.append(out)
+        return jnp.stack(outs)
+
     def element_traces_dense(self, p: jax.Array) -> jax.Array:
         """tr(P M_e^(placed)) for every element -> (E,).
 

@@ -742,30 +742,42 @@ def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
         lambda _: lu_inverse_logdet(xtvix),
         operand=None,
     )
-    p = vi - vix @ xtvix_i @ vix.T
-    py = p @ y
+    # P = Vi - ViX (X'ViX)^-1 (ViX)' is Vi minus a rank-c correction —
+    # NEVER materialized: at Tn = 20k a dense P (plus its fusion temps)
+    # is multiple extra 1.6 GB HBM buffers, the difference between a
+    # bivariate 10k-cohort fit running and OOMing on one chip.
+    def apply_p(z):
+        return vi @ z - vix @ (xtvix_i @ (vix.T @ z))
+
+    py = apply_p(y)
     ytpy = y @ py
     mpy = cc.elements_times_vector(py)  # (E, n_total)
-    tr_e = cc.element_traces_dense(vi if use_ml else p)
+    # tr(P M_e) = tr(Vi M_e) - tr((X'ViX)^-1 (ViX)' M_e (ViX))
+    tr_vi_e = cc.element_traces_dense(vi)
+    mw = cc.elements_times_matrix(vix)  # (E, Tn, c)
+    quad_e = jnp.einsum("nc,enk->eck", vix, mw)  # (E, c, c)
+    tr_p_full = tr_vi_e - jnp.einsum("ck,eck->e", xtvix_i, quad_e)
+    tr_e = tr_vi_e if use_ml else tr_p_full
     ypmpy_e = mpy @ py
     a = cc.coefficient_jacobian(theta)  # (E, K)
     grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
     subvpy = jnp.einsum("ei,ek->ik", mpy, a)  # (Tn, K)
     if use_f_matrix:
         # expected information: F_kl = 0.5 tr(W dV_k W dV_l) with W = P
-        # (REML-F) or Vi (ML-F) — computeREMLFMatrix/computeMLFMatrix
-        w = vi if use_ml else p
+        # (REML-F) or Vi (ML-F) — computeREMLFMatrix/computeMLFMatrix.
+        # This opt-in path does need the dense W.
+        w = vi if use_ml else vi - vix @ xtvix_i @ vix.T
         wm = jnp.stack(
             [w @ _placed_dense(cc, ei) for ei in range(cc.n_elements)]
         )  # (E, Tn, Tn)
         t_ef = jnp.einsum("eij,fji->ef", wm, wm)
         ai = 0.5 * a.T @ t_ef @ a
     else:
-        psubvpy = p @ subvpy
+        psubvpy = apply_p(subvpy)
         ai = 0.5 * subvpy.T @ psubvpy
         # crossed second-derivative correction (reml.cpp:2159-2218)
         h = cc.coefficient_hessian(theta)  # (E, K, K)
-        tr_p_e = cc.element_traces_dense(p) if use_ml else tr_e
+        tr_p_e = tr_p_full if use_ml else tr_e
         ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
     return {
         "logdet_v": logdet_v,
