@@ -58,6 +58,44 @@ def spd_solve(v, b):
     return x, logdet, ok
 
 
+# XLA's TPU triangular_solve against a full identity (the explicit
+# inverse) unrolls into per-panel ~1 GB remat temp clones at n = 20000
+# — the whole chip's HBM in dead buffers.  Above this row count the
+# inverse runs through the blocked block-cyclic Cholesky pipeline
+# (linalg/distributed.py on a 1-device mesh): sequential fori_loop
+# panels, bounded temps, same answer.
+DENSE_INVERSE_MAX_N = 12288
+
+
+def spd_inverse_logdet_auto(v):
+    """Cholesky inverse + logdet, sized for the hardware: XLA's fused
+    potrf/trsm below DENSE_INVERSE_MAX_N, the blocked cyclic pipeline
+    (identity-padded to the panel quantum) above it."""
+    n = v.shape[-1]
+    if n <= DENSE_INVERSE_MAX_N:
+        return spd_inverse_logdet(v)
+    import numpy as _np
+
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from dissect_tpu.linalg.distributed import spd_inverse_logdet_cyclic
+
+    block = 512
+    pad = (-n) % block
+    if pad:
+        eye_tail = jnp.eye(n + pad, dtype=v.dtype)
+        vp = eye_tail.at[:n, :n].set(v)
+    else:
+        vp = v
+    mesh = Mesh(_np.asarray(_jax.devices()[:1]), ("i",))
+    vi, logdet = spd_inverse_logdet_cyclic(vp, mesh, block=block)
+    if pad:
+        vi = vi[:n, :n]
+    ok = jnp.isfinite(logdet) & jnp.all(jnp.isfinite(jnp.diagonal(vi)))
+    return vi, logdet, ok
+
+
 # XLA's TPU LU custom call stages f32[n,128] panels in scoped VMEM and
 # fails to COMPILE above roughly this many rows ("Ran out of memory in
 # memory space vmem ... LuDecompositionBlock", observed at n=20000 on
@@ -82,7 +120,7 @@ def fallback_inverse_logdet(v):
     scale = jnp.mean(jnp.abs(jnp.diagonal(v)))
     eps = jnp.asarray(jnp.finfo(v.dtype).eps, v.dtype)
     jitter = scale * jnp.sqrt(eps)
-    return spd_inverse_logdet(v + jitter * jnp.eye(n, dtype=v.dtype))
+    return spd_inverse_logdet_auto(v + jitter * jnp.eye(n, dtype=v.dtype))
 
 
 @jax.jit

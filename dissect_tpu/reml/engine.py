@@ -39,6 +39,7 @@ from dissect_tpu.linalg.spd import (
     fallback_inverse_logdet,
     lu_inverse_logdet,
     spd_inverse_logdet,
+    spd_inverse_logdet_auto,
 )
 from dissect_tpu.model.covariance import (
     CovarianceModel,
@@ -726,7 +727,7 @@ def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
     """Dense-V REML/ML quantities (aiREMLStep body, reml.cpp:2286-2498)."""
     T, n = cc.n_traits, cc.n
     v = cc.assemble_dense(theta)
-    vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
+    vi_c, logdet_c, ok_v = spd_inverse_logdet_auto(v)
     vi, logdet_v, _ = jax.lax.cond(
         ok_v,
         lambda _: (vi_c, logdet_c, ok_v),
@@ -906,7 +907,7 @@ def _dense_quantities_autodiff(cc, theta, y, x, use_ml=False, use_f_matrix=False
     whole assembly instead of the coefficient-Jacobian shortcut, so any
     differentiable parameterization works."""
     v = cc.assemble_dense(theta)
-    vi_c, logdet_c, ok_v = spd_inverse_logdet(v)
+    vi_c, logdet_c, ok_v = spd_inverse_logdet_auto(v)
     vi, logdet_v, _ = jax.lax.cond(
         ok_v,
         lambda _: (vi_c, logdet_c, ok_v),

@@ -228,3 +228,21 @@ class TestFallbackInverse:
         bad = (q * w) @ q.T
         _, _, ok_bad = spd.fallback_inverse_logdet(jnp.asarray(bad))
         assert not bool(ok_bad)
+
+
+def test_spd_inverse_auto_big_path(monkeypatch):
+    """Above DENSE_INVERSE_MAX_N (patched down) the inverse routes
+    through the blocked cyclic pipeline with identity padding and
+    matches numpy exactly."""
+    from dissect_tpu.linalg import spd
+
+    monkeypatch.setattr(spd, "DENSE_INVERSE_MAX_N", 16)
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(70, 30))
+    v = a @ a.T / 30 + 0.5 * np.eye(70)  # 70: not a multiple of 512
+    vi, logdet, ok = spd.spd_inverse_logdet_auto(jnp.asarray(v))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(vi), np.linalg.inv(v),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(logdet),
+                               np.linalg.slogdet(v)[1], rtol=1e-10)
