@@ -67,12 +67,17 @@ def spd_solve(v, b):
 DENSE_INVERSE_MAX_N = 12288
 
 
-def spd_inverse_logdet_auto(v):
+def spd_inverse_logdet_auto(v, backend=None):
     """Cholesky inverse + logdet, sized for the hardware: XLA's fused
     potrf/trsm below DENSE_INVERSE_MAX_N, the blocked cyclic pipeline
-    (identity-padded to the panel quantum) above it."""
+    (identity-padded to the panel quantum) above it.
+
+    `backend` (static) names the platform this trace targets; the
+    unrolled-temps problem is TPU-specific, so 'cpu' always takes the
+    plain path (the float64 endgame runs there with CPU-committed
+    operands — a TPU-device mesh would be an invalid mixture)."""
     n = v.shape[-1]
-    if n <= DENSE_INVERSE_MAX_N:
+    if n <= DENSE_INVERSE_MAX_N or backend == "cpu":
         return spd_inverse_logdet(v)
     import numpy as _np
 
@@ -88,7 +93,7 @@ def spd_inverse_logdet_auto(v):
         vp = eye_tail.at[:n, :n].set(v)
     else:
         vp = v
-    mesh = Mesh(_np.asarray(_jax.devices()[:1]), ("i",))
+    mesh = Mesh(_np.asarray(_jax.devices(backend)[:1]), ("i",))
     vi, logdet = spd_inverse_logdet_cyclic(vp, mesh, block=block)
     if pad:
         vi = vi[:n, :n]
@@ -105,7 +110,7 @@ def spd_inverse_logdet_auto(v):
 LU_FALLBACK_MAX_N = 16384
 
 
-def fallback_inverse_logdet(v):
+def fallback_inverse_logdet(v, backend=None):
     """Non-PD fallback inverse for the REML covariance.
 
     Below LU_FALLBACK_MAX_N: general LU inverse with the GCTA
@@ -120,7 +125,9 @@ def fallback_inverse_logdet(v):
     scale = jnp.mean(jnp.abs(jnp.diagonal(v)))
     eps = jnp.asarray(jnp.finfo(v.dtype).eps, v.dtype)
     jitter = scale * jnp.sqrt(eps)
-    return spd_inverse_logdet_auto(v + jitter * jnp.eye(n, dtype=v.dtype))
+    return spd_inverse_logdet_auto(
+        v + jitter * jnp.eye(n, dtype=v.dtype), backend
+    )
 
 
 @jax.jit

@@ -161,8 +161,13 @@ class REMLEngine:
                 core = (
                     _blockdiag_quantities if self.cc.diagonal else _dense_quantities
                 )
+            extra = (
+                {"backend": jax.default_backend()}
+                if core is _dense_quantities
+                else {}
+            )
             self._quantities = lambda theta: core(
-                self.cc, theta, self.y, self.x, use_ml, use_f
+                self.cc, theta, self.y, self.x, use_ml, use_f, **extra
             )
         else:
             self._quantities = lambda theta: _ylist_quantities(
@@ -558,7 +563,11 @@ class REMLEngine:
             log_likelihood = -np.inf
             ai_inv_full = np.zeros((len(theta), len(theta)))
             for _ in range(max(n_steps, 1)):
-                q = core(cc64, put(theta), y64, x64, use_ml, use_f)
+                q = core(
+                    cc64, put(theta), y64, x64, use_ml, use_f,
+                    **({"backend": "cpu"} if core is _dense_quantities
+                       else {}),
+                )
                 grad = np.asarray(q["grad"], dtype=np.float64)
                 ai = np.asarray(q["ai"], dtype=np.float64)
                 prev_ll = log_likelihood
@@ -722,9 +731,13 @@ def _placed_blockdiag(cc, ei):
     return out
 
 
-@_partial(jax.jit, static_argnames=("use_ml", "use_f_matrix"))
-def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False):
-    """Dense-V REML/ML quantities (aiREMLStep body, reml.cpp:2286-2498)."""
+@_partial(jax.jit, static_argnames=("use_ml", "use_f_matrix", "backend"))
+def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False,
+                      backend=None):
+    """Dense-V REML/ML quantities (aiREMLStep body, reml.cpp:2286-2498).
+
+    `backend` (static) routes the huge-V inverse: the blocked cyclic
+    pipeline on TPU-like platforms, XLA's fused solve on CPU."""
     T, n = cc.n_traits, cc.n
     v = cc.assemble_dense(theta)
     vi_c, logdet_c, ok_v = spd_inverse_logdet_auto(v)
