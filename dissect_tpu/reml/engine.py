@@ -740,11 +740,11 @@ def _dense_quantities(cc, theta, y, x, use_ml=False, use_f_matrix=False,
     pipeline on TPU-like platforms, XLA's fused solve on CPU."""
     T, n = cc.n_traits, cc.n
     v = cc.assemble_dense(theta)
-    vi_c, logdet_c, ok_v = spd_inverse_logdet_auto(v)
+    vi_c, logdet_c, ok_v = spd_inverse_logdet_auto(v, backend)
     vi, logdet_v, _ = jax.lax.cond(
         ok_v,
         lambda _: (vi_c, logdet_c, ok_v),
-        lambda _: fallback_inverse_logdet(v),
+        lambda _: fallback_inverse_logdet(v, backend),
         operand=None,
     )
     vix = vi @ x
