@@ -72,12 +72,14 @@ def spd_inverse_logdet_auto(v, backend=None):
     potrf/trsm below DENSE_INVERSE_MAX_N, the blocked cyclic pipeline
     (identity-padded to the panel quantum) above it.
 
-    `backend` (static) names the platform this trace targets; the
-    unrolled-temps problem is TPU-specific, so 'cpu' always takes the
-    plain path (the float64 endgame runs there with CPU-committed
-    operands — a TPU-device mesh would be an invalid mixture)."""
+    `backend` (static) names the platform this trace targets, so the
+    1-device mesh matches the operands' placement (the float64 endgame
+    traces with CPU-committed operands).  The blocked pipeline is used
+    on every backend above the threshold: XLA's explicit
+    solve-against-identity mis-scales there on CPU too (observed: a
+    20000^2 float64 endgame step dying with SIGSEGV)."""
     n = v.shape[-1]
-    if n <= DENSE_INVERSE_MAX_N or backend == "cpu":
+    if n <= DENSE_INVERSE_MAX_N:
         return spd_inverse_logdet(v)
     import numpy as _np
 
