@@ -189,17 +189,22 @@ def grouped_gwas(
                 batched(gs_rot), y_rot, x_rot, lam, theta0,
                 ml_iterations,
             )
-            bs = np.asarray(bs, dtype=np.float64)[:n_groups]
-            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)[:n_groups]
-            logls = np.asarray(logls, dtype=np.float64)[:n_groups]
-            grad_norms = np.asarray(grad_norms, dtype=np.float64)[:n_groups]
+            # to_host: batch axis may be sharded over a multi-host mesh
+            from dissect_tpu.runtime.distributed_io import to_host
+
+            bs = to_host(bs).astype(np.float64)[:n_groups]
+            a_inv_diags = to_host(a_inv_diags).astype(np.float64)[:n_groups]
+            logls = to_host(logls).astype(np.float64)[:n_groups]
+            grad_norms = to_host(grad_norms).astype(np.float64)[:n_groups]
         else:
             bs, a_inv_diags, btxtys = _joint_ols_batch(
                 batched(gs), yj, xj
             )
-            bs = np.asarray(bs, dtype=np.float64)[:n_groups]
-            a_inv_diags = np.asarray(a_inv_diags, dtype=np.float64)[:n_groups]
-            btxtys = np.asarray(btxtys, dtype=np.float64)[:n_groups]
+            from dissect_tpu.runtime.distributed_io import to_host
+
+            bs = to_host(bs).astype(np.float64)[:n_groups]
+            a_inv_diags = to_host(a_inv_diags).astype(np.float64)[:n_groups]
+            btxtys = to_host(btxtys).astype(np.float64)[:n_groups]
         for bi, group in enumerate(group_list):
             kept, dropped = filtered[group]
             if covariance is not None:

@@ -27,6 +27,7 @@ from dissect_tpu.linalg.small import (
     solve_spd_small,
 )
 from dissect_tpu.runtime.stats import chi2_sf, f_sf, t_sf
+from dissect_tpu.runtime.distributed_io import to_host
 
 
 @dataclasses.dataclass
@@ -245,7 +246,8 @@ def igwas(
         # per-SNP initial variances: h2 * var(snp) genetic, rest
         # residual (reml.prepare's OLS-variance seeding applied to the
         # SNP outcome, reml.cpp:1100-1131)
-        g_np = np.asarray(genotypes, dtype=np.float64)
+        # to_host: `genotypes` may be mesh-sharded (multi-host safe)
+        g_np = to_host(genotypes).astype(np.float64)
         snp_var = g_np.var(axis=1, ddof=1)
         theta0s = np.column_stack(
             [initial_h2 * snp_var, (1.0 - initial_h2) * snp_var]
@@ -257,8 +259,8 @@ def igwas(
             jnp.asarray(theta0s, dtype=dtype),
             n_iterations,
         )
-        beta = np.asarray(beta)
-        se = np.sqrt(np.maximum(np.asarray(a_inv_diag), 0.0))
+        beta = to_host(beta)
+        se = np.sqrt(np.maximum(to_host(a_inv_diag), 0.0))
         with np.errstate(divide="ignore", invalid="ignore"):
             chi2 = (beta / se) ** 2
         p = chi2_sf(1, chi2)
@@ -267,9 +269,9 @@ def igwas(
         # non-E sub-covariance and refits, igwas.cpp:604-624) — for
         # V = s2*I the profile ML is closed-form from the OLS residuals
         _, sse_red, _ = _igwas_ols_core(g, xm)
-        sse_red = np.asarray(sse_red, dtype=np.float64)
+        sse_red = to_host(sse_red).astype(np.float64)
         logl_null = -0.5 * (n * np.log(sse_red / n) + n)
-        ratio = 2.0 * (np.asarray(logl, dtype=np.float64) - logl_null)
+        ratio = 2.0 * (to_host(logl).astype(np.float64) - logl_null)
         # one extra variance in the full model; the statistically
         # standard df=1 chi2 (the reference passes the fixed-effect df
         # difference, 0, to chi1_CDF here — a degenerate corner its own
@@ -277,13 +279,13 @@ def igwas(
         group_p = np.where(
             ratio < 0.0, -1.0, chi2_sf(1, np.maximum(ratio, 0.0))
         )
-        converged = np.asarray(grad_norm) < 1e-2
+        converged = to_host(grad_norm) < 1e-2
     elif v_inv is None:
         beta, sse, a_inv_diag = _igwas_ols_core(g, xm)
-        beta = np.asarray(beta)
-        sse = np.asarray(sse)
+        beta = to_host(beta)
+        sse = to_host(sse)
         mse = sse[:, None] / (n - c)
-        se = np.sqrt(mse * np.asarray(a_inv_diag)[None, :])
+        se = np.sqrt(mse * to_host(a_inv_diag)[None, :])
         t = beta / se
         p = 2.0 * t_sf(n - c, np.abs(t))
         model = "OLS"
@@ -292,12 +294,12 @@ def igwas(
             # reduced fit (SSR = sse_reduced - sse_full, h = c - n_base)
             _, sse_red, _ = _igwas_ols_core(g, xm[:, :n_base])
             h = float(c - n_base)
-            f_stat = (np.asarray(sse_red) - sse) / h / (sse / (n - c))
+            f_stat = (to_host(sse_red) - sse) / h / (sse / (n - c))
             group_p = f_sf(h, float(n - c), np.maximum(f_stat, 0.0))
     else:
         beta, a_inv_diag = _igwas_gls_core(g, xm, jnp.asarray(v_inv, dtype=dtype))
-        beta = np.asarray(beta)
-        se = np.sqrt(np.asarray(a_inv_diag))[None, :] * np.ones((g.shape[0], 1))
+        beta = to_host(beta)
+        se = np.sqrt(to_host(a_inv_diag))[None, :] * np.ones((g.shape[0], 1))
         chi2 = (beta / se) ** 2
         p = chi2_sf(1, chi2)
         model = "GLS"

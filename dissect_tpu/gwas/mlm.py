@@ -41,6 +41,7 @@ from dissect_tpu.linalg.small import (
     solve_spd_small,
 )
 from dissect_tpu.runtime.stats import chi2_sf
+from dissect_tpu.runtime.distributed_io import to_host
 
 
 def use_pallas_moments(q: int) -> bool:
@@ -91,14 +92,16 @@ def mlm_gwas_fixed_v(genotypes, y, x, v_inv, dtype=None) -> GwasResults:
     vi = jnp.asarray(v_inv, dtype=dtype)
     b_snp, b_cov, d, au, a_inv_diag = _gls_core(g, yv, xm, vi)
 
-    d = np.asarray(d)
+    # to_host: these lead with the (possibly multi-host) sharded SNP
+    # axis — np.asarray would raise on not-fully-addressable arrays
+    d = to_host(d)
     snp_se = np.sqrt(1.0 / d)
-    snp_beta = np.asarray(b_snp)
+    snp_beta = to_host(b_snp)
     chi2 = snp_beta**2 * d
     snp_p = chi2_sf(1, chi2)
-    cov_var = np.asarray(a_inv_diag)[None, :] + np.asarray(au) ** 2 / d[:, None]
+    cov_var = np.asarray(a_inv_diag)[None, :] + to_host(au) ** 2 / d[:, None]
     cov_se = np.sqrt(cov_var)
-    cov_beta = np.asarray(b_cov)
+    cov_beta = to_host(b_cov)
     cov_chi2 = (cov_beta / cov_se) ** 2
     return GwasResults(
         snp_beta=snp_beta,
@@ -415,8 +418,10 @@ def mlm_gwas_ml_refit(
         use_pallas=use_pallas,
     )
     if retry_unfitted:
-        unfit = np.asarray(grad_norm) >= 1e-2
-        fit_thetas = np.asarray(thetas)[~unfit]
+        # host materialization via to_host: sharded-GWAS runs carry the
+        # SNP axis across (possibly multi-host) mesh devices
+        unfit = to_host(grad_norm) >= 1e-2
+        fit_thetas = to_host(thetas)[~unfit]
         if unfit.any() and fit_thetas.size:
             idx = np.flatnonzero(unfit)
             theta_warm = jnp.asarray(
@@ -425,7 +430,7 @@ def mlm_gwas_ml_refit(
             # pad the subset to the next power of two: every chunk of a
             # genome-scale run has a different unfitted count, and an
             # exact-shape retry would compile one program per chunk
-            g_np = np.asarray(g_rot)[idx]
+            g_np = to_host(g_rot)[idx]
             padded = 1 << max(int(np.ceil(np.log2(len(idx)))), 3)
             if padded > len(idx):
                 g_np = np.concatenate(
@@ -440,7 +445,7 @@ def mlm_gwas_ml_refit(
                 )
             )
             b, a_inv_diag, thetas, logl, grad_norm = (
-                np.asarray(v).copy()
+                to_host(v).copy()
                 for v in (b, a_inv_diag, thetas, logl, grad_norm)
             )
             b[idx], a_inv_diag[idx], thetas[idx] = (
@@ -452,10 +457,10 @@ def mlm_gwas_ml_refit(
     _, _, _, logl_null, _ = jax.jit(
         _ml_fit_diagonal, static_argnames=("n_iterations",)
     )(lam, y_rot, x_rot, theta0, n_iterations=n_iterations)
-    ratio = 2.0 * (np.asarray(logl) - float(logl_null))
+    ratio = 2.0 * (to_host(logl) - float(logl_null))
     group_p = np.where(ratio < 0.0, -1.0, chi2_sf(1, np.maximum(ratio, 0.0)))
-    b = np.asarray(b)
-    a_inv_diag = np.asarray(a_inv_diag)
+    b = to_host(b)
+    a_inv_diag = to_host(a_inv_diag)
     se = np.sqrt(a_inv_diag)
     chi2 = (b / se) ** 2
     p = chi2_sf(1, chi2)
@@ -471,5 +476,5 @@ def mlm_gwas_ml_refit(
         model="MLM-ML",
         group_p=group_p,
     )
-    res.converged = np.asarray(grad_norm) < 1e-2  # gradient threshold
+    res.converged = to_host(grad_norm) < 1e-2  # gradient threshold
     return res

@@ -145,9 +145,13 @@ def mp_gwas(
     g = jnp.asarray(genotypes, dtype=dtype)
     n = y.shape[0]
     xtx, xty, yty = _mp_core(g, y)
-    xtx = np.asarray(xtx)[:m_orig]
-    xty = np.asarray(xty)[:m_orig]
-    yty = np.asarray(yty)
+    # to_host: the SNP axis may be sharded over a multi-host mesh,
+    # where np.asarray on a not-fully-addressable array raises
+    from dissect_tpu.runtime.distributed_io import to_host
+
+    xtx = to_host(xtx)[:m_orig]
+    xty = to_host(xty)[:m_orig]
+    yty = to_host(yty)
 
     bad = xtx <= 0
     xtx_safe = np.where(bad, np.inf, xtx)

@@ -96,20 +96,24 @@ def ols_gwas(
     m = g.shape[0]
     b_snp, b_cov, sse, d, au, a_inv_diag = _ols_core(g, yv, xm)
 
+    # to_host: the SNP axis may be sharded over a multi-host mesh,
+    # where np.asarray on a not-fully-addressable array raises
+    from dissect_tpu.runtime.distributed_io import to_host
+
     df = float(n - (c + 1))
-    mse = np.asarray(sse) / df
-    d = np.asarray(d)
+    mse = to_host(sse) / df
+    d = to_host(d)
     snp_var = mse / d
     snp_se = np.sqrt(snp_var)
-    snp_beta = np.asarray(b_snp)
+    snp_beta = to_host(b_snp)
     snp_t = snp_beta / snp_se
     snp_p = 2.0 * t_sf(df, np.abs(snp_t))
 
     cov_var = mse[:, None] * (
-        np.asarray(a_inv_diag)[None, :] + np.asarray(au) ** 2 / d[:, None]
+        to_host(a_inv_diag)[None, :] + to_host(au) ** 2 / d[:, None]
     )
     cov_se = np.sqrt(cov_var)
-    cov_beta = np.asarray(b_cov)
+    cov_beta = to_host(b_cov)
     cov_t = cov_beta / cov_se
     cov_p = 2.0 * t_sf(df, np.abs(cov_t))
     # GROUPPV (gwas.cpp:919-939): SSR = b'X'y(full) - b'X'y(reduced)

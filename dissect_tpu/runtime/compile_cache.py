@@ -55,13 +55,26 @@ def _host_key() -> str:
 
 
 def _tpu_platform() -> bool:
-    """True when this process targets an accelerator backend (no CPU in
-    JAX_PLATFORMS).  TPU executables are serialized for the device, not
-    the host CPU — they are valid on any host that can reach the chip."""
+    """True when this process targets an accelerator backend.  TPU
+    executables are serialized for the device, not the host CPU — they
+    are valid on any host that can reach the chip.
+
+    Detection order: DISSECT_TPU_PLATFORM / JAX_PLATFORMS when set;
+    otherwise the actual default backend.  On a real TPU VM the env
+    vars are normally UNSET (jax auto-selects tpu), so treating unset
+    as CPU would silently re-partition the cache per host and bring
+    back the host-key-churn recompiles this module exists to fix."""
     plat = os.environ.get(
         "DISSECT_TPU_PLATFORM", os.environ.get("JAX_PLATFORMS", "")
     )
-    return bool(plat) and "cpu" not in plat.lower().split(",")
+    if plat:
+        return "cpu" not in plat.lower().split(",")
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def _migrate_siblings(cache: str) -> int:
