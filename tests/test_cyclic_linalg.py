@@ -98,6 +98,64 @@ def test_distributed_engine_uses_cyclic_and_matches_local(mesh, rng):
     )
 
 
+def test_interleaved_trtri_lauum_pipeline(mesh, rng):
+    """The in-place pdpotri stages: chol -> trtri -> lauum with the
+    interleaved elimination order reproduce inv(A) stage by stage."""
+    from dissect_tpu.linalg.distributed import (
+        distributed_cholesky,
+        distributed_lauum_full,
+        distributed_triangular_solve,
+        distributed_triangular_solve_t,
+        distributed_trtri,
+    )
+
+    n, block, G = 128, 4, 8
+    a = _spd(rng, n)
+    l, logdet = distributed_cholesky(
+        jnp.asarray(a), mesh, "i", block, interleave=G
+    )
+    np.testing.assert_allclose(
+        float(logdet), np.linalg.slogdet(a)[1], rtol=1e-10
+    )
+    # the factor satisfies L L^T = A in es-permuted coordinates: check
+    # through the solves instead of the raw factor
+    b = rng.standard_normal((n, 3))
+    y = distributed_triangular_solve(
+        l, jnp.asarray(b), mesh, "i", block, interleave=G
+    )
+    x = distributed_triangular_solve_t(l, y, mesh, "i", block, interleave=G)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a, b), rtol=1e-8, atol=1e-9
+    )
+    w = distributed_trtri(l, mesh, "i", block, interleave=G)
+    vi = distributed_lauum_full(w, mesh, "i", block, interleave=G)
+    np.testing.assert_allclose(
+        np.asarray(vi), np.linalg.inv(a), rtol=1e-8, atol=1e-10
+    )
+    # full symmetric output — both triangles present
+    np.testing.assert_allclose(
+        np.asarray(vi), np.asarray(vi).T, rtol=0, atol=1e-12
+    )
+
+
+def test_sequential_trtri_matches_numpy(mesh, rng):
+    """interleave=1: the factor is plainly triangular and trtri gives
+    the literal L^{-1}."""
+    from dissect_tpu.linalg.distributed import (
+        distributed_cholesky,
+        distributed_trtri,
+    )
+
+    n, block = 64, 8
+    a = _spd(rng, n)
+    l, _ = distributed_cholesky(jnp.asarray(a), mesh, "i", block)
+    w = distributed_trtri(l, mesh, "i", block)
+    np.testing.assert_allclose(
+        np.asarray(w), np.linalg.inv(np.linalg.cholesky(a)),
+        rtol=1e-8, atol=1e-10,
+    )
+
+
 def test_eigh_raises_instead_of_silent_gather(mesh, rng):
     """Above base_size with a mesh, an impossible split must raise, not
     fall back to a one-device eigh."""
