@@ -426,8 +426,11 @@ def _local_lauum_full(w_loc, n_loc, block, n_blocks, axis, interleave):
         remaining = (es_r >= k)[:, None]
         c_loc = jax.lax.dynamic_slice(a_loc, (zero, col0), (n_loc, block))
         c_mask = jnp.where(remaining, c_loc, 0.0)
-        w_mask = jnp.where(remaining, a_loc, 0.0)
-        contrib = c_mask.T @ w_mask  # (block, N) local partial products
+        # c_mask is zero on the already-overwritten rows, so the second
+        # operand needs NO mask (a masked copy of a_loc would cost a
+        # full (n_loc, N) temp per iteration — dot operands are
+        # materialized, not fused)
+        contrib = c_mask.T @ a_loc  # (block, N) local partial products
         r_panel = jax.lax.psum(contrib, axis)
         return jnp.where(
             owns,
@@ -461,6 +464,177 @@ def distributed_lauum_full(
     )
     spec = NamedSharding(mesh, P(axis, None))
     return fn(jax.lax.with_sharding_constraint(w, spec))
+
+
+def _local_spd_inverse_fused(
+    v_loc, n_loc, block, n_blocks, axis, interleave
+):
+    """shard_map body: Cholesky -> trtri -> lauum as ONE fori_loop over
+    3*n_blocks steps with a phase switch, so the whole pdpotri pipeline
+    lives in a SINGLE loop-carry buffer.
+
+    Run as three separate loops, XLA's buffer assignment (CPU backend,
+    measured) keeps v, L and W as three distinct (N^2/D) temps; fused,
+    the carry is updated in place and peak temp drops to ~one buffer —
+    at 100k x 8 v5e fp32 that is 10 GB resident (kernel + carry)
+    instead of 20+, the difference between fitting and OOMing."""
+    n = n_blocks * block
+    row0, es_r, es_c = _elim_geometry(
+        n, n_loc, block, n_blocks, interleave, axis
+    )
+    # trailing-update column chunking: a full-width GEMM result is an
+    # (n_loc, N) temp per iteration — at beyond-HBM N a whole extra
+    # N^2/D buffer per device.  Chunked, the temp is N^2/(chunks*D).
+    n_chunks = 1
+    for d in (8, 4, 2):
+        if n_blocks % d == 0:
+            n_chunks = d
+            break
+    chunk_cols = n // n_chunks
+
+    def chol_step(k, a_loc):
+        col0 = _sigma_col0(k, block, n_blocks, interleave)
+        zero = jnp.int32(0)
+        local_k0 = jnp.clip(col0 - row0, 0, n_loc - block).astype(jnp.int32)
+        owns = (col0 >= row0) & (col0 + block <= row0 + n_loc)
+        cand = jax.lax.dynamic_slice(a_loc, (local_k0, col0), (block, block))
+        diag = jax.lax.psum(jnp.where(owns, cand, 0.0), axis)
+        l_kk = jnp.linalg.cholesky(diag)
+        inc = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_kk)))
+        c_loc = jax.lax.dynamic_slice(a_loc, (zero, col0), (n_loc, block))
+        solved = jax.lax.linalg.triangular_solve(
+            l_kk, c_loc, left_side=False, lower=True, transpose_a=True
+        )
+        trailing = (es_r > k)[:, None]
+        in_diag = (es_r == k)[:, None]
+        l_kk_scatter = jax.lax.dynamic_update_slice(
+            jnp.zeros((n_loc, block), a_loc.dtype), l_kk, (local_k0, zero)
+        )
+        panel_loc = jnp.where(
+            trailing, solved, jnp.where(in_diag & owns, l_kk_scatter, c_loc)
+        )
+        a_loc = jax.lax.dynamic_update_slice(a_loc, panel_loc, (zero, col0))
+        panel_masked = jnp.where(trailing, solved, 0.0)
+        panel_full = jax.lax.all_gather(panel_masked, axis).reshape(-1, block)
+
+        def upd_chunk(j, a_l):
+            c0 = (j * chunk_cols).astype(jnp.int32)
+            seg = jax.lax.dynamic_slice(a_l, (zero, c0), (n_loc, chunk_cols))
+            pf = jax.lax.dynamic_slice(
+                panel_full, (c0, zero), (chunk_cols, block)
+            )
+            es_seg = jax.lax.dynamic_slice(
+                es_c[None, :], (jnp.int32(0), c0), (1, chunk_cols)
+            )
+            upd = panel_masked @ pf.T
+            seg = seg - jnp.where(es_seg > k, upd, 0.0)
+            return jax.lax.dynamic_update_slice(a_l, seg, (zero, c0))
+
+        a_loc = jax.lax.fori_loop(0, n_chunks, upd_chunk, a_loc)
+        # zero this step's es-upper row entries (rows es == k, columns
+        # es > k): the standalone kernel does this in one pass after
+        # its loop; here trtri/lauum need it done before they run.
+        # Row-panel-local so the temp is (block, N), not (n_loc, N).
+        row_seg = jax.lax.dynamic_slice(a_loc, (local_k0, zero), (block, n))
+        row_seg = jnp.where((es_c[None, :] > k) & owns, 0.0, row_seg)
+        a_loc = jax.lax.dynamic_update_slice(a_loc, row_seg, (local_k0, zero))
+        return a_loc, inc
+
+    def trtri_step(step, a_loc):
+        k = n_blocks - 1 - step
+        col0 = _sigma_col0(k, block, n_blocks, interleave)
+        zero = jnp.int32(0)
+        local_k0 = jnp.clip(col0 - row0, 0, n_loc - block).astype(jnp.int32)
+        owns = (col0 >= row0) & (col0 + block <= row0 + n_loc)
+        cand = jax.lax.dynamic_slice(a_loc, (local_k0, col0), (block, block))
+        l_kk = jax.lax.psum(jnp.where(owns, cand, 0.0), axis)
+        c_loc = jax.lax.dynamic_slice(a_loc, (zero, col0), (n_loc, block))
+        trailing = (es_r > k)[:, None]
+        c_trail = jnp.where(trailing, c_loc, 0.0)
+        c_full = jax.lax.all_gather(c_trail, axis).reshape(-1, block)
+        upd = a_loc @ c_full
+        solved = jax.lax.linalg.triangular_solve(
+            l_kk, -upd, left_side=False, lower=True
+        )
+        w_kk = jax.lax.linalg.triangular_solve(
+            l_kk, jnp.eye(block, dtype=a_loc.dtype), left_side=True, lower=True
+        )
+        w_kk_scatter = jax.lax.dynamic_update_slice(
+            jnp.zeros((n_loc, block), a_loc.dtype), w_kk, (local_k0, zero)
+        )
+        in_diag = (es_r == k)[:, None]
+        panel_new = jnp.where(
+            trailing, solved, jnp.where(in_diag & owns, w_kk_scatter, c_loc)
+        )
+        return jax.lax.dynamic_update_slice(a_loc, panel_new, (zero, col0)), 0.0
+
+    def lauum_step(k, a_loc):
+        col0 = _sigma_col0(k, block, n_blocks, interleave)
+        zero = jnp.int32(0)
+        local_k0 = jnp.clip(col0 - row0, 0, n_loc - block).astype(jnp.int32)
+        owns = (col0 >= row0) & (col0 + block <= row0 + n_loc)
+        remaining = (es_r >= k)[:, None]
+        c_loc = jax.lax.dynamic_slice(a_loc, (zero, col0), (n_loc, block))
+        c_mask = jnp.where(remaining, c_loc, 0.0)
+        # no second-operand mask: c_mask's zero rows already exclude the
+        # overwritten rows, and a masked a_loc copy would cost a full
+        # (n_loc, N) temp per iteration
+        contrib = c_mask.T @ a_loc
+        r_panel = jax.lax.psum(contrib, axis)
+        a_loc = jnp.where(
+            owns,
+            jax.lax.dynamic_update_slice(a_loc, r_panel, (local_k0, zero)),
+            a_loc,
+        )
+        return a_loc, 0.0
+
+    def body(i, carry):
+        a_loc, logdet = carry
+        phase = i // n_blocks
+        k = i % n_blocks
+        a_loc, inc = jax.lax.switch(
+            phase,
+            [chol_step, trtri_step, lauum_step],
+            k,
+            a_loc,
+        )
+        return a_loc, logdet + inc
+
+    return jax.lax.fori_loop(
+        0, 3 * n_blocks, body, (v_loc, jnp.zeros((), v_loc.dtype))
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "block", "interleave"))
+def distributed_spd_inverse_fused(
+    v, mesh: Mesh, axis: str = "i", block: int = 256, interleave: int = 1
+):
+    """A^{-1} + log|A| of a row-sharded SPD matrix in ONE fused
+    single-carry kernel (see `_local_spd_inverse_fused`)."""
+    n = v.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev != 0 or n % block != 0:
+        raise ValueError(f"N={n} must be divisible by devices and block")
+    n_blocks = n // block
+    if n_blocks % interleave != 0:
+        raise ValueError(
+            f"n_blocks={n_blocks} must be divisible by interleave={interleave}"
+        )
+    fn = shard_map(
+        partial(
+            _local_spd_inverse_fused,
+            n_loc=n // n_dev,
+            block=block,
+            n_blocks=n_blocks,
+            axis=axis,
+            interleave=interleave,
+        ),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P()),
+    )
+    spec = NamedSharding(mesh, P(axis, None))
+    return fn(jax.lax.with_sharding_constraint(v, spec))
 
 
 def _pick_interleave(n: int, n_dev: int, block: int) -> int:
@@ -501,17 +675,15 @@ def spd_inverse_logdet_cyclic(v, mesh: Mesh, axis: str = "i", block: int = 256):
     trtri -> in-place full lauum (the pdpotrf_+pdpotri_ replacement,
     matrix.cpp:3080-3153, with the reference's balanced layout).
 
-    Every stage morphs one row-sharded (N, N) loop-carry buffer, so
-    peak memory is ~2 resident (N^2/D) buffers per device (stage input
-    + output; XLA elides the rest) — the difference between fitting
-    and OOMing a 100k x 8-chip v5e REML iteration.  Trace-time host
-    work only depends on static shapes, so this is safe inside jit."""
+    The three stages run as ONE fused single-carry kernel, so peak
+    memory is ~1 resident (N^2/D) working buffer per device beyond the
+    inputs (XLA keeps separate stage outputs alive otherwise — measured
+    3x) — the difference between fitting and OOMing a 100k x 8-chip
+    v5e REML iteration.  Trace-time host work only depends on static
+    shapes, so this is safe inside jit."""
     n = v.shape[0]
     G = _pick_interleave(n, mesh.shape[axis], block)
-    l, logdet = distributed_cholesky(v, mesh, axis, block, interleave=G)
-    w = distributed_trtri(l, mesh, axis, block, interleave=G)
-    vi = distributed_lauum_full(w, mesh, axis, block, interleave=G)
-    return vi, logdet
+    return distributed_spd_inverse_fused(v, mesh, axis, block, interleave=G)
 
 
 # the engine-facing alias: same function, named for the call site

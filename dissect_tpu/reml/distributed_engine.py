@@ -2,17 +2,38 @@
 
 At 100k+ individuals the (N, N) covariance no longer fits one chip's
 HBM, and XLA's native cholesky would gather it.  This engine keeps V,
-V^-1, P and every kernel ROW-SHARDED over mesh axis 'i' for the whole
-iteration:
+V^-1 and every dense kernel ROW-SHARDED over mesh axis 'i' for the
+whole iteration:
 
-  * V assembly, the P projection, subVPy products and all traces are
-    plain jnp ops under SPMD (XLA inserts the ICI collectives — the
-    pdgemm/pdsymm replacements);
-  * the factorization is the shard_map blocked Cholesky
-    (linalg/distributed.py, the pdpotrf_ replacement), and V^-1 comes
-    from the blocked triangular solve against a sharded identity
-    followed by one sharded syrk (W = L^-1, Vi = W^T W — the pdpotri_
-    replacement, matrix.cpp:3080-3153).
+  * V assembly, subVPy products and all traces are plain jnp ops under
+    SPMD (XLA inserts the ICI collectives — the pdgemm/pdsymm
+    replacements);
+  * the factorization+inverse is the interleaved-elimination blocked
+    Cholesky -> in-place trtri -> in-place lauum pipeline
+    (linalg/distributed.py — the pdpotrf_+pdpotri_ replacement,
+    matrix.cpp:3080-3153), whose stages each morph ONE row-sharded
+    (N^2/D) loop-carry buffer;
+  * P IS NEVER MATERIALIZED: P = Vi - ViX (X'ViX)^-1 (ViX)' is Vi
+    minus a rank-c correction, applied as an operator (the same
+    apply-P trick as the single-chip engine, engine.py:759-764; the
+    reference builds dense P into pre-allocated grid storage,
+    reml.cpp:1836-1909 — at beyond-HBM N the operator form is what
+    keeps the iteration inside HBM);
+  * tr(P M_e) comes from the trace identity
+    tr(P M_e) = tr(Vi M_e) - tr((X'ViX)^-1 (ViX)' M_e (ViX));
+  * DIAGONAL element matrices (the environmental identity, per-
+    individual weight matrices) are detected at setup and stored as
+    (n,) vectors — a dense N x N identity would cost a full N^2/D
+    buffer per trait for no information.
+
+Memory model (bytes/device, fp32, D devices, T traits, n per trait,
+N = T*n): resident kernels E_dense * 4N^2/D (single-trait GRM: E_dense
+= 1; bivariate 3 GRM blocks: 3 * 4(N/2)^2/D = 0.75 * 4N^2/D) + ~2
+transient (N^2/D) stage buffers inside the inverse + O(N) vectors.  At
+N = 100k, D = 8 v5e chips, single-trait fp32: 5 GB (GRM) + 2 * 5 GB
+(V->L->W->Vi pipeline) = ~15 GB peak < 16 GB HBM; with XLA's
+copy-elision aliasing the stage carries the measured peak is lower
+(see SCALING.md for compiler-reported numbers).
 
 Arbitrary N is supported by identity-padding: every trait block is
 zero-padded up to the next multiple of (devices * block) and V gains
@@ -27,21 +48,21 @@ the mixed-precision ENDGAME (the reference's fp32-early/fp64-late
 switch, reml.cpp:1673-1724, matrix.cpp:3080-3138) runs the SAME
 row-sharded quantities in float64 on the mesh — the matrices are never
 gathered to one host, so the double-precision finish survives at
-beyond-HBM N.  Per-device memory is O(N^2 / D) per resident matrix.
+beyond-HBM N.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dissect_tpu.linalg.distributed import spd_inverse_logdet_cyclic
+from dissect_tpu.linalg.distributed import spd_inverse_logdet_presharded
 from dissect_tpu.model.covariance import CovarianceModel
 from dissect_tpu.reml.engine import REMLEngine, REMLOptions
 
@@ -58,46 +79,300 @@ def pick_block(n_total: int, n_devices: int, requested: Optional[int] = None) ->
     return block
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCovariance:
+    """CompiledCovariance specialized for the row-sharded engine.
+
+    Elements whose matrices are exactly diagonal (identities, diag(w)
+    weight matrices, cross-trait environmental blocks over shared
+    individuals) are stored as (n,) VECTORS and scattered onto the
+    (block-placed) diagonal on demand — never densified.  Dense
+    elements are stored padded and row-sharded.  The coefficient
+    machinery (g_e(theta) = c_e prod theta^p) mirrors
+    CompiledCovariance (covariancematrix.cpp:545-766)."""
+
+    trait_sizes: Tuple[int, ...]
+    blocks: Tuple[Tuple[int, int], ...]
+    is_diag: Tuple[bool, ...]
+    element_matrices: Tuple[jax.Array, ...]  # (n_i, n_j) dense or (n_i,) diag
+    powers: jax.Array  # (E, K)
+    factors: jax.Array  # (E,)
+
+    def tree_flatten(self):
+        return (
+            (self.element_matrices, self.powers, self.factors),
+            (self.trait_sizes, self.blocks, self.is_diag),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        element_matrices, powers, factors = children
+        trait_sizes, blocks, is_diag = aux
+        return cls(
+            trait_sizes=trait_sizes,
+            blocks=blocks,
+            is_diag=is_diag,
+            element_matrices=tuple(element_matrices),
+            powers=powers,
+            factors=factors,
+        )
+
+    @property
+    def n_total(self) -> int:
+        return sum(self.trait_sizes)
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        out, acc = [], 0
+        for s in self.trait_sizes:
+            out.append(acc)
+            acc += s
+        return tuple(out)
+
+    @property
+    def n_elements(self) -> int:
+        return len(self.element_matrices)
+
+    # --- coefficients (same semantics as CompiledCovariance) -------------
+    def coefficients(self, theta: jax.Array) -> jax.Array:
+        t = theta[None, :]
+        lin = jnp.where(self.powers == 1.0, t, 1.0).prod(axis=1)
+        sq = jnp.where(self.powers == 0.5, jnp.sqrt(jnp.abs(t)), 1.0).prod(axis=1)
+        return self.factors * lin * sq
+
+    def coefficient_jacobian(self, theta: jax.Array) -> jax.Array:
+        return jax.jacfwd(self.coefficients)(theta)
+
+    def coefficient_hessian(self, theta: jax.Array) -> jax.Array:
+        return jax.hessian(self.coefficients)(theta)
+
+    # --- assembly / per-element primitives --------------------------------
+    def assemble_dense(self, theta: jax.Array, extra_diag=None) -> jax.Array:
+        """V (n_total, n_total); `extra_diag` adds the identity padding."""
+        g = self.coefficients(theta)
+        off = self.offsets
+        nt = self.n_total
+        dtype = theta.dtype
+        v = jnp.zeros((nt, nt), dtype=dtype)
+        for ei in range(self.n_elements):
+            m = self.element_matrices[ei]
+            ti, tj = self.blocks[ei]
+            ri, ci = off[ti], off[tj]
+            if self.is_diag[ei]:
+                nr = m.shape[0]
+                ar = jnp.arange(nr)
+                v = v.at[ri + ar, ci + ar].add(g[ei] * m)
+                if ti != tj:
+                    v = v.at[ci + ar, ri + ar].add(g[ei] * m)
+            else:
+                nr, nc = m.shape
+                v = v.at[ri : ri + nr, ci : ci + nc].add(g[ei] * m)
+                if ti != tj:
+                    v = v.at[ci : ci + nc, ri : ri + nr].add(g[ei] * m.T)
+        if extra_diag is not None:
+            an = jnp.arange(nt)
+            v = v.at[an, an].add(extra_diag.astype(dtype))
+        return v
+
+    def apply_element(self, ei: int, u: jax.Array) -> jax.Array:
+        """Placed M_e @ u -> (n_total,) for one element."""
+        off = self.offsets
+        nt = self.n_total
+        m = self.element_matrices[ei]
+        ti, tj = self.blocks[ei]
+        ri, ci = off[ti], off[tj]
+        out = jnp.zeros((nt,), dtype=u.dtype)
+        if self.is_diag[ei]:
+            nr = m.shape[0]
+            out = out.at[ri : ri + nr].add(m * u[ci : ci + nr])
+            if ti != tj:
+                out = out.at[ci : ci + nr].add(m * u[ri : ri + nr])
+        else:
+            nr, nc = m.shape
+            out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
+            if ti != tj:
+                out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
+        return out
+
+    def elements_times_vector(self, u: jax.Array) -> jax.Array:
+        """M_e^(placed) @ u for every element -> (E, n_total)."""
+        return jnp.stack(
+            [self.apply_element(ei, u) for ei in range(self.n_elements)]
+        )
+
+    def elements_times_matrix(self, u: jax.Array) -> jax.Array:
+        """M_e^(placed) @ U, U (n_total, c) -> (E, n_total, c): the
+        tall-skinny companion used to form tr(P M_e) without P."""
+        off = self.offsets
+        nt = self.n_total
+        c = u.shape[1]
+        outs = []
+        for ei in range(self.n_elements):
+            m = self.element_matrices[ei]
+            ti, tj = self.blocks[ei]
+            ri, ci = off[ti], off[tj]
+            out = jnp.zeros((nt, c), dtype=u.dtype)
+            if self.is_diag[ei]:
+                nr = m.shape[0]
+                out = out.at[ri : ri + nr].add(m[:, None] * u[ci : ci + nr])
+                if ti != tj:
+                    out = out.at[ci : ci + nr].add(
+                        m[:, None] * u[ri : ri + nr]
+                    )
+            else:
+                nr, nc = m.shape
+                out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
+                if ti != tj:
+                    out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
+            outs.append(out)
+        return jnp.stack(outs)
+
+    def element_traces_dense(self, w: jax.Array) -> jax.Array:
+        """tr(W M_e^(placed)) for every element -> (E,); cross blocks
+        contribute twice (trace identity, matrix.cpp:3835)."""
+        off = self.offsets
+        traces = []
+        for ei in range(self.n_elements):
+            m = self.element_matrices[ei]
+            ti, tj = self.blocks[ei]
+            ri, ci = off[ti], off[tj]
+            if self.is_diag[ei]:
+                nr = m.shape[0]
+                ar = jnp.arange(nr)
+                t = jnp.sum(w[ri + ar, ci + ar] * m)
+            else:
+                nr, nc = m.shape
+                t = jnp.einsum("ij,ij->", w[ri : ri + nr, ci : ci + nc], m)
+            traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
+        return jnp.stack(traces)
+
+
+def _fused_assemble_inverse(sc, theta, pad_diag, mesh, block):
+    """V assembly INSIDE the factorization's shard_map region.
+
+    When every dense element spans the full (n_total, n_total) block
+    (single-trait models — the beyond-HBM workhorse), the local V shard
+    is a linear combination of the dense elements' local shards plus
+    diagonal terms on the local rows.  Assembling in-region means the
+    jit-level program never holds a separate assembled V buffer next to
+    the factorization carry: measured on the v5e AOT compiler, this is
+    the third N^2/D buffer (kernel + V + carry -> kernel + carry), i.e.
+    15 GB vs 10 GB per chip at N=100k, D=8, fp32."""
+    from jax import shard_map
+    from dissect_tpu.linalg.distributed import (
+        _local_spd_inverse_fused,
+        _pick_interleave,
+    )
+
+    n = sc.n_total
+    n_dev = mesh.shape["i"]
+    n_loc = n // n_dev
+    n_blocks = n // block
+    G = _pick_interleave(n, n_dev, block)
+    g = sc.coefficients(theta)
+    dense_ids = [ei for ei in range(sc.n_elements) if not sc.is_diag[ei]]
+    diag_total = pad_diag.astype(theta.dtype)
+    for ei in range(sc.n_elements):
+        if sc.is_diag[ei]:
+            diag_total = diag_total + g[ei] * sc.element_matrices[ei].astype(
+                theta.dtype
+            )
+
+    def body(g_d, diag_t, *dense_locs):
+        v_loc = g_d[0] * dense_locs[0].astype(diag_t.dtype)
+        for i in range(1, len(dense_locs)):
+            v_loc = v_loc + g_d[i] * dense_locs[i].astype(diag_t.dtype)
+        dev = jax.lax.axis_index("i")
+        rows = dev * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        v_loc = v_loc.at[jnp.arange(n_loc), rows].add(diag_t[rows])
+        return _local_spd_inverse_fused(
+            v_loc, n_loc=n_loc, block=block, n_blocks=n_blocks,
+            axis="i", interleave=G,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P("i", None),) * len(dense_ids),
+        out_specs=(P("i", None), P()),
+    )
+    g_dense = jnp.stack([g[ei] for ei in dense_ids])
+    return fn(g_dense, diag_total, *(sc.element_matrices[ei] for ei in dense_ids))
+
+
+def _sc_fully_aligned(sc) -> bool:
+    """True when in-region assembly applies: every dense element is a
+    full-size on-diagonal block and every diag element sits on the
+    diagonal (single-trait models; multi-trait placements fall back to
+    jit-level assembly)."""
+    for ei in range(sc.n_elements):
+        ti, tj = sc.blocks[ei]
+        if ti != tj or ti != 0:
+            return False
+    return len(sc.trait_sizes) == 1
+
+
 @partial(jax.jit, static_argnames=("mesh", "block", "use_ml"))
 def _distributed_dense_quantities(
-    cc, theta, y, x, pad_diag, mesh, block, use_ml=False
+    sc, theta, y, x, pad_diag, mesh, block, use_ml=False
 ):
-    """Dense REML quantities with a row-sharded covariance.
+    """Dense REML quantities with a row-sharded covariance and
+    OPERATOR-FORM P (never materialized).
 
     Mirrors engine._dense_quantities but replaces the one-chip
-    Cholesky/inverse with the distributed factorization.  Multi-trait
-    placement is supported through the same CompiledCovariance; the
-    sharded axis is the (T n) row axis.  `pad_diag` carries ones on the
-    identity-pad rows (zeros everywhere real); all returned quantities
-    are exact for the unpadded problem.
+    Cholesky/inverse with the distributed in-place pipeline.  `pad_diag`
+    carries ones on the identity-pad rows (zeros everywhere real); all
+    returned quantities are exact for the unpadded problem.
     """
     row_spec = NamedSharding(mesh, P("i", None))
 
-    v = cc.assemble_dense(theta) + jnp.diag(pad_diag.astype(theta.dtype))
-    v = jax.lax.with_sharding_constraint(v, row_spec)
-    # block-CYCLIC factorization: balanced trailing updates, the
-    # reference's BLACS layout (communicator.cpp:82-96)
-    vi, logdet_v = spd_inverse_logdet_cyclic(v, mesh, "i", block)
+    if _sc_fully_aligned(sc):
+        vi, logdet_v = _fused_assemble_inverse(sc, theta, pad_diag, mesh, block)
+    else:
+        v = jax.lax.with_sharding_constraint(
+            sc.assemble_dense(theta, extra_diag=pad_diag), row_spec
+        )
+        vi, logdet_v = spd_inverse_logdet_presharded(v, mesh, "i", block)
 
     vix = vi @ x
     xtvix = x.T @ vix
-    xtvix_i = jnp.linalg.inv(xtvix)  # (c, c), replicated
-    sign, logdet_x = jnp.linalg.slogdet(xtvix)
-    p = jax.lax.with_sharding_constraint(
-        vi - vix @ xtvix_i @ vix.T, row_spec
+    # (c, c) SPD inverse via Cholesky, replicated: jnp.linalg.inv /
+    # slogdet lower to LU, which TPU XLA does not implement for f64 —
+    # and the f64 ENDGAME of this engine runs on the TPU mesh (the
+    # single-chip engine's endgame is on the CPU backend instead).
+    # A failed factorization yields NaNs -> the finite flag trips.
+    lx = jnp.linalg.cholesky(xtvix)
+    li = jax.lax.linalg.triangular_solve(
+        lx, jnp.eye(x.shape[1], dtype=lx.dtype), left_side=True, lower=True
     )
-    py = p @ y
+    xtvix_i = li.T @ li
+    logdet_x = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lx)))
+
+    # P = Vi - ViX (X'ViX)^-1 (ViX)' applied as an operator: a dense P
+    # is an extra N^2/D per device, the difference between fitting and
+    # OOMing at 100k x 8 chips (reml.cpp:1836-1909 builds it dense into
+    # grid storage; engine.py:759-764 is the one-chip operator form)
+    def apply_p(z):
+        return vi @ z - vix @ (xtvix_i @ (vix.T @ z))
+
+    py = apply_p(y)
     ytpy = y @ py
-    mpy = cc.elements_times_vector(py)
-    tr_e = cc.element_traces_dense(vi if use_ml else p)
+    mpy = sc.elements_times_vector(py)
+    # tr(P M_e) = tr(Vi M_e) - tr((X'ViX)^-1 (ViX)' M_e (ViX))
+    tr_vi_e = sc.element_traces_dense(vi)
+    mw = sc.elements_times_matrix(vix)  # (E, Tn, c)
+    quad_e = jnp.einsum("nc,enk->eck", vix, mw)  # (E, c, c)
+    tr_p_full = tr_vi_e - jnp.einsum("ck,eck->e", xtvix_i, quad_e)
+    tr_e = tr_vi_e if use_ml else tr_p_full
     ypmpy_e = mpy @ py
-    a = cc.coefficient_jacobian(theta)
+    a = sc.coefficient_jacobian(theta)
     grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e)
     subvpy = jnp.einsum("ei,ek->ik", mpy, a)
-    psubvpy = p @ subvpy
+    psubvpy = apply_p(subvpy)
     ai = 0.5 * subvpy.T @ psubvpy
-    h = cc.coefficient_hessian(theta)
-    tr_p_e = cc.element_traces_dense(p) if use_ml else tr_e
+    h = sc.coefficient_hessian(theta)
+    tr_p_e = tr_p_full
     ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_e - ypmpy_e)
     return {
         "logdet_v": logdet_v,
@@ -112,8 +387,41 @@ def _distributed_dense_quantities(
         "py": py,
         "vix": vix,
         "xtvix_i": xtvix_i,
-        "vi": vi,
+        # NOTE: vi is deliberately NOT returned — as a jit output it
+        # would pin an extra N^2/D buffer per device for the whole fit;
+        # post-fit consumers that need it (BLUP errors) recompute it in
+        # their own jit at the fitted theta.
     }
+
+
+@partial(jax.jit, static_argnames=("mesh", "block", "element_ids"))
+def _distributed_blup_error_diag(
+    sc, theta, x, pad_diag, mesh, block, element_ids
+):
+    """diag(Cov_sub P Cov_sub) with operator-form P (one-time post-fit
+    recomputation of Vi; diagonalOfABAt analog, matrix.cpp:3920-3960)."""
+    row_spec = NamedSharding(mesh, P("i", None))
+    v = jax.lax.with_sharding_constraint(
+        sc.assemble_dense(theta, extra_diag=pad_diag), row_spec
+    )
+    vi, _ = spd_inverse_logdet_presharded(v, mesh, "i", block)
+    vix = vi @ x
+    # Cholesky-based small SPD inverse (no LU: f64-on-TPU safe)
+    lx = jnp.linalg.cholesky(x.T @ vix)
+    li = jax.lax.linalg.triangular_solve(
+        lx, jnp.eye(x.shape[1], dtype=lx.dtype), left_side=True, lower=True
+    )
+    xtvix_i = li.T @ li
+    g = sc.coefficients(theta)
+    cov = None
+    for ei in element_ids:
+        m = sc.element_matrices[ei]
+        placed = jnp.diag(m) if sc.is_diag[ei] else m
+        term = g[ei] * placed
+        cov = term if cov is None else cov + term
+    cov = jax.lax.with_sharding_constraint(cov, row_spec)
+    w = vi @ cov - vix @ (xtvix_i @ (vix.T @ cov))  # P @ Cov
+    return jnp.einsum("ij,ji->i", cov, w)
 
 
 class DistributedREMLEngine(REMLEngine):
@@ -148,15 +456,35 @@ class DistributedREMLEngine(REMLEngine):
 
         real_sizes = self.cc.trait_sizes
         padded_sizes = tuple(s + ((-s) % quantum) for s in real_sizes)
-        spec = NamedSharding(mesh, P("i", None))
-        mats = []
+        self._row_spec = NamedSharding(mesh, P("i", None))
+        rep_spec = NamedSharding(mesh, P())
+        mats, is_diag = [], []
         for m, (ti, tj) in zip(self.cc.element_matrices, self.cc.blocks):
-            pr = padded_sizes[ti] - m.shape[0]
-            pc = padded_sizes[tj] - m.shape[1]
-            mp = np.pad(np.asarray(m, dtype=self.dtype), ((0, pr), (0, pc)))
-            mats.append(jax.device_put(mp, spec))
-        self.cc = dataclasses.replace(
-            self.cc, trait_sizes=padded_sizes, element_matrices=tuple(mats)
+            m_np = np.asarray(m, dtype=np.float64)
+            pr = padded_sizes[ti] - m_np.shape[0]
+            pc = padded_sizes[tj] - m_np.shape[1]
+            diag = (
+                m_np.shape[0] == m_np.shape[1]
+                and np.count_nonzero(
+                    m_np - np.diag(np.diagonal(m_np))
+                ) == 0
+            )
+            if diag:
+                # identities / diag(w): a dense copy would waste a full
+                # N^2/D buffer per device — store the diagonal only
+                dv = np.pad(np.diagonal(m_np).astype(self.dtype), (0, pr))
+                mats.append(jax.device_put(jnp.asarray(dv), rep_spec))
+            else:
+                mp = np.pad(m_np.astype(self.dtype), ((0, pr), (0, pc)))
+                mats.append(jax.device_put(jnp.asarray(mp), self._row_spec))
+            is_diag.append(diag)
+        self._sc = ShardedCovariance(
+            trait_sizes=padded_sizes,
+            blocks=self.cc.blocks,
+            is_diag=tuple(is_diag),
+            element_matrices=tuple(mats),
+            powers=self.cc.powers,
+            factors=self.cc.factors,
         )
         # real-row index into the padded (T n_pad) layout
         pad_off = np.cumsum([0] + list(padded_sizes))[:-1]
@@ -177,7 +505,7 @@ class DistributedREMLEngine(REMLEngine):
 
         use_ml = options.use_ml
         self._quantities = lambda theta: _distributed_dense_quantities(
-            self.cc,
+            self._sc,
             jnp.asarray(theta, dtype=self.dtype),
             self.y,
             self.x,
@@ -187,13 +515,50 @@ class DistributedREMLEngine(REMLEngine):
             use_ml,
         )
 
-    # --- post-fit consumers: slice the pad rows back out -------------------
+    # --- post-fit consumers: sc-aware, pad rows sliced back out ------------
     def compute_blup_individuals(self, sub_id: str):
-        return super().compute_blup_individuals(sub_id)[self._real_idx]
+        """u_hat = V_sub @ Py via the sharded covariance (the reference's
+        computeIndividualsBLUP, reml.cpp:2983-3096)."""
+        q = self._final_device_state()
+        py = q["py"]
+        theta = jnp.asarray(self.final_theta, dtype=self.dtype)
+        g = np.asarray(self._sc.coefficients(theta))
+        blup = jnp.zeros((self._sc.n_total,), dtype=py.dtype)
+        for ei, e in enumerate(self.model.elements):
+            if e.subcovariance_id != sub_id:
+                continue
+            blup = blup + g[ei] * self._sc.apply_element(ei, py)
+        return np.asarray(blup)[self._real_idx]
 
     def compute_blup_errors(self, sub_id: str):
-        err = super().compute_blup_errors(sub_id)
-        return None if err is None else err[self._real_idx]
+        """sqrt(diag(Cov_sub P Cov_sub)) without a dense P:
+        W = P applied to Cov_sub columnwise, then diag = sum_j C_ij W_ji
+        (diagonalOfABAt, matrix.cpp:3920-3960, in operator form).
+        Dense single-trait only, like the reference (reml.cpp:3250).
+
+        Vi is recomputed here in a dedicated jit (the fit loop's
+        quantities deliberately don't return it, to keep its N^2/D
+        buffer out of the iteration's footprint)."""
+        if self.cc.diagonal or self.cc.n_traits != 1:
+            return None
+        element_ids = tuple(
+            ei
+            for ei, e in enumerate(self.model.elements)
+            if e.subcovariance_id == sub_id
+        )
+        if not element_ids:
+            return None
+        theta = jnp.asarray(self.final_theta, dtype=self.dtype)
+        d = _distributed_blup_error_diag(
+            self._sc,
+            theta,
+            self.x,
+            self._pad_diag,
+            self.mesh,
+            self.block,
+            element_ids,
+        )
+        return np.sqrt(np.maximum(np.asarray(d), 0.0))[self._real_idx]
 
     def final_py(self) -> np.ndarray:
         return np.asarray(
@@ -209,14 +574,28 @@ class DistributedREMLEngine(REMLEngine):
         stalled fp32 fit can be salvaged here."""
         use_ml = self.options.use_ml
         var_threshold = self.options.variance_convergence_threshold
-        spec = NamedSharding(self.mesh, P("i", None))
+        rep_spec = NamedSharding(self.mesh, P())
         converged = False
         with jax.enable_x64():
-            put = lambda a: jax.device_put(np.asarray(a, dtype=np.float64), spec)
-            cc64 = dataclasses.replace(
-                self.cc,
+            def put(m, diag):
+                spec = rep_spec if diag else self._row_spec
+                return jax.device_put(
+                    np.asarray(m, dtype=np.float64), spec
+                )
+
+            sc64 = dataclasses.replace(
+                self._sc,
                 element_matrices=tuple(
-                    put(m) for m in self.cc.element_matrices
+                    put(m, d)
+                    for m, d in zip(
+                        self._sc.element_matrices, self._sc.is_diag
+                    )
+                ),
+                powers=jnp.asarray(
+                    np.asarray(self._sc.powers, dtype=np.float64)
+                ),
+                factors=jnp.asarray(
+                    np.asarray(self._sc.factors, dtype=np.float64)
                 ),
             )
             y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
@@ -228,7 +607,7 @@ class DistributedREMLEngine(REMLEngine):
             ai_inv_full = np.zeros((len(theta), len(theta)))
             for _ in range(max(n_steps, 1)):
                 q = _distributed_dense_quantities(
-                    cc64,
+                    sc64,
                     jnp.asarray(theta, dtype=jnp.float64),
                     y64,
                     x64,

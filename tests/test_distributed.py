@@ -137,6 +137,74 @@ class TestDistributedReml:
             np.asarray(qd["ai"]), np.asarray(qp["ai"]), rtol=1e-8
         )
 
+    def test_bivariate_quantities_match_dense_engine(self, rng, mesh1d):
+        """Multi-trait blocks + diagonal-element (identity) special-
+        casing in the ShardedCovariance reproduce the local dense
+        quantities exactly."""
+        import jax.numpy as jnp
+        import pytest
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.engine import REMLEngine
+        from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+        n = 96
+        z = rng.normal(size=(4 * n, n))
+        k = z.T @ z / (4 * n)
+        y = rng.normal(size=2 * n)
+        x = np.kron(np.eye(2), np.ones((n, 1)))
+        model = build_variance_model(
+            [k], ["GRM"], [1.0, 1.2], [0.5, 0.5], n_traits=2
+        )
+        plain = REMLEngine(model, y, x)
+        dist = DistributedREMLEngine(model, y, x, mesh1d, block=16)
+        # identity E elements must be stored as vectors, not densified
+        assert any(dist._sc.is_diag)
+        theta = jnp.asarray(model.initial_theta())
+        qp = plain._quantities(theta)
+        qd = dist._quantities(theta)
+        for key in ("logdet_v", "logdet_xtvix", "ytpy"):
+            assert float(qd[key]) == pytest.approx(float(qp[key]), rel=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(qd["grad"]), np.asarray(qp["grad"]), rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(qd["ai"]), np.asarray(qp["ai"]), rtol=1e-7, atol=1e-9
+        )
+
+    def test_distributed_blup_and_errors_match_local(self, rng, mesh1d):
+        """Operator-form BLUP/BLUP-error outputs equal the local dense
+        engine's (diagonalOfABAt in operator form)."""
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.engine import REMLEngine, REMLOptions
+        from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+        n = 128
+        z = rng.normal(size=(3 * n, n))
+        k = z.T @ z / (3 * n)
+        el = np.linalg.cholesky(k + 1e-8 * np.eye(n))
+        y = el @ rng.normal(size=n) * 0.8 + rng.normal(size=n) * 0.6
+        x = np.ones((n, 1))
+        model = build_variance_model([k], ["GRM"], [np.var(y, ddof=1)], [0.5])
+        opts = REMLOptions(float64_refine=False)
+        plain = REMLEngine(model, y, x, opts)
+        rp = plain.fit()
+        dist = DistributedREMLEngine(model, y, x, mesh1d, opts, block=16)
+        rd = dist.fit()
+        assert rp.success and rd.success
+        np.testing.assert_allclose(
+            dist.compute_blup_individuals("GRM"),
+            plain.compute_blup_individuals("GRM"),
+            rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            dist.compute_blup_errors("GRM"),
+            plain.compute_blup_errors("GRM"),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            dist.residuals(), plain.residuals(), rtol=1e-5, atol=1e-7
+        )
+
     def test_full_distributed_fit(self, rng, mesh1d):
         from dissect_tpu.reml.builders import build_variance_model
         from dissect_tpu.reml.engine import REMLEngine, REMLOptions
