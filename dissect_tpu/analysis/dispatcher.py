@@ -581,7 +581,7 @@ class Analysis:
             # per-individual residual weights E = diag(w) (--weights /
             # --weights-col, options.cpp:770-778, reml.cpp:334-446)
             env_weights = read_phenotype(a.weights, a.weights_col)
-        ctx = use_distributed(a, kern.n)
+        ctx = use_distributed(a, kern.n, allow_single_device=True)
         if ctx is not None:
             self.log.message(
                 f"REML on a {ctx.n_devices}-device mesh (row-sharded "
@@ -758,6 +758,17 @@ class Analysis:
                 read_covariates(c or None, q or None, default_keys=p.keys)
                 for c, q, p in zip(cfiles, qfiles, phenos)
             ]
+        # multi-trait covariance is (sum_t n_t)^2: gate the sharded
+        # engine on the TOTAL dimension (multireml.cpp builds the same
+        # joint matrix over the whole BLACS grid)
+        ctx = use_distributed(
+            a, sum(len(p.keys) for p in phenos), allow_single_device=True
+        )
+        if ctx is not None:
+            self.log.message(
+                f"multi-trait REML on a {ctx.n_devices}-device mesh "
+                f"(row-sharded joint covariance, blocked Cholesky)"
+            )
         driver = MultiREML(
             [kern],
             phenos,
@@ -765,6 +776,8 @@ class Analysis:
             self.options.reml_options(),
             use_correlations=a.use_correlations,
             environmental_covariance=not a.no_environment_cov,
+            mesh=ctx.flat if ctx else None,
+            distributed_block=a.default_block_size,
         )
         out = driver.compute(initial_h2s=a.initial_h2s)
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
@@ -1795,12 +1808,26 @@ def main(argv=None):
             f"({ctx.n_devices} x {ctx.mesh.devices.flat[0].platform}, "
             f"{_jax.process_count()} process(es))"
         )
+    from dissect_tpu.runtime.timers import install_compile_listener
+
+    install_compile_listener()
     with timers.phase("Total"):
         Analysis(options).run()
     mem = timers.process_memory()
+    total = timers.elapsed.get("Total", 0.0)
+    split = ""
+    if timers.compile_seconds + timers.trace_seconds > 0.05:
+        execute = max(
+            total - timers.compile_seconds - timers.trace_seconds, 0.0
+        )
+        split = (
+            f" [compile {timers.compile_seconds:.2f}s + trace "
+            f"{timers.trace_seconds:.2f}s + execute/io {execute:.2f}s]"
+        )
     log.message(
-        f"Analysis finished in {timers.elapsed.get('Total', 0.0):.2f}s"
+        f"Analysis finished in {total:.2f}s"
         + (f" (peak RSS {mem['VmHWM']})" if "VmHWM" in mem else "")
+        + split
     )
     log.close()
 

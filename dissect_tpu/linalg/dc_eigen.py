@@ -87,16 +87,23 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
 
     One lax.scan step = X^2 (sharded matmul) + SPD solve of
     (I + c X^2) Y = X via the distributed blocked Cholesky; then
-    `ns_iters` Newton-Schulz polish steps."""
+    `ns_iters` Newton-Schulz polish steps.  A 1-device mesh uses XLA's
+    native fused Cholesky/triangular solves — the blocked shard_map
+    solve's sequential panel rounds are pure latency there."""
     n = x.shape[0]
+    # TPU fp32 matmuls default to fast bf16 passes; the sign iteration
+    # tolerates that, but downstream projectors/bases do not — measured
+    # O(1) eigenvalue errors on clustered spectra.  Trace the whole
+    # solver at HIGHEST precision (6-pass bf16 = true fp32).
     spec = None
-    if mesh is not None:
+    if mesh is not None and mesh.shape[axis] > 1:
         spec = NamedSharding(mesh, P(axis, None))
         x = jax.lax.with_sharding_constraint(x, spec)
     eye = jnp.eye(n, dtype=x.dtype)
+    prec = jax.default_matmul_precision("highest")
 
     def spd_solve(z, rhs):
-        if mesh is None:
+        if spec is None:
             chol = jnp.linalg.cholesky(z)
             y = jax.lax.linalg.triangular_solve(
                 chol, rhs, left_side=True, lower=True
@@ -118,8 +125,6 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
             x = jax.lax.with_sharding_constraint(x, spec)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, coeffs_arr)
-
     def polish(_, x):
         x = 0.5 * x @ (3.0 * eye - x @ x)
         x = 0.5 * (x + x.T)
@@ -127,7 +132,9 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
             x = jax.lax.with_sharding_constraint(x, spec)
         return x
 
-    x = jax.lax.fori_loop(0, ns_iters, polish, x)
+    with prec:
+        x, _ = jax.lax.scan(step, x, coeffs_arr)
+        x = jax.lax.fori_loop(0, ns_iters, polish, x)
     return x
 
 
@@ -191,6 +198,11 @@ def _cholqr2(y, spec=None):
     solve, repeated to recover orthogonality lost to squaring the
     condition number.  With `spec` the tall operand stays row-sharded;
     the (k, k) Gram and factor replicate (XLA psums the contraction)."""
+    with jax.default_matmul_precision("highest"):
+        return _cholqr2_body(y, spec)
+
+
+def _cholqr2_body(y, spec):
     for _ in range(2):
         gram = y.T @ y
         r = jnp.linalg.cholesky(gram)
@@ -218,16 +230,128 @@ def _subspace_basis(proj, k, rng, spec=None):
     return _cholqr2(y, spec)
 
 
+@partial(jax.jit, static_argnames=("k", "spec"))
+def _split_apply(a_sub, u, seed, k, spec=None):
+    """Projector range finding + CholeskyQR2 + both Rayleigh quotients
+    as ONE device program.
+
+    The recursion's eager glue (projectors, probes, bases, products)
+    was ~30 separate dispatches per split — each a full round trip
+    through a remote-chip tunnel.  Gaussian probes come from on-device
+    PRNG (no host upload); the finiteness flag rides along so the host
+    fetches once."""
+    m = a_sub.shape[0]
+    with jax.default_matmul_precision("highest"):
+        eye = jnp.eye(m, dtype=a_sub.dtype)
+        key1, key2 = jax.random.split(jax.random.PRNGKey(seed))
+        g1 = jax.random.normal(key1, (m, k), dtype=a_sub.dtype)
+        g2 = jax.random.normal(key2, (m, m - k), dtype=a_sub.dtype)
+        y1 = (0.5 * (eye - u)) @ g1
+        y2 = (0.5 * (eye + u)) @ g2
+        if spec is not None:
+            y1 = jax.lax.with_sharding_constraint(y1, spec)
+            y2 = jax.lax.with_sharding_constraint(y2, spec)
+        q1 = _cholqr2_body(y1, spec)
+        q2 = _cholqr2_body(y2, spec)
+        # one m^3 product for both Rayleigh quotients
+        aq = a_sub @ jnp.concatenate([q1, q2], axis=1)
+        a1 = q1.T @ aq[:, :k]
+        a2 = q2.T @ aq[:, k:]
+        a1 = 0.5 * (a1 + a1.T)
+        a2 = 0.5 * (a2 + a2.T)
+        if spec is not None:
+            if a1.shape[0] % spec.mesh.shape["i"] == 0:
+                a1 = jax.lax.with_sharding_constraint(a1, spec)
+            if a2.shape[0] % spec.mesh.shape["i"] == 0:
+                a2 = jax.lax.with_sharding_constraint(a2, spec)
+        fin = jnp.all(jnp.isfinite(a1)) & jnp.all(jnp.isfinite(a2))
+    return q1, q2, a1, a2, fin
+
+
+@jax.jit
+def _combine(q1, q2, w1, v1, w2, v2):
+    """Child results -> parent (w, V) in one dispatch."""
+    with jax.default_matmul_precision("highest"):
+        w = jnp.concatenate([w1, w2])
+        v = jnp.concatenate([q1 @ v1, q2 @ v2], axis=1)
+    return w, v
+
+
+@partial(jax.jit, static_argnames=("ns_iters",))
+def _batched_split(a_sub, probes, coeffs_arr, ns_iters):
+    """All shift candidates in ONE device program (local solves).
+
+    Through a remote-chip tunnel, every host round trip costs hundreds
+    of milliseconds; the old sequential candidate loop paid one RTT per
+    shift PLUS a full wasted QDWH when a shift failed.  Here the four
+    candidate sigmas are computed on device from the diagonal, the four
+    sign matrices run as one vmapped QDWH, and the host fetches ONE
+    (trace, involution-error) table to pick the split — U never leaves
+    the device.  Local (replicated) solves only: this path is gated to
+    subproblems that fit one device."""
+    m = a_sub.shape[0]
+    d = jnp.diagonal(a_sub)
+    sigmas = jnp.stack(
+        [
+            jnp.median(d),
+            0.5 * (jnp.min(d) + jnp.max(d)),
+            jnp.quantile(d, 0.25),
+            jnp.quantile(d, 0.75),
+        ]
+    )
+    eye = jnp.eye(m, dtype=a_sub.dtype)
+
+    def spd_solve(z, rhs):
+        chol = jnp.linalg.cholesky(z)
+        y = jax.lax.linalg.triangular_solve(
+            chol, rhs, left_side=True, lower=True
+        )
+        return jax.lax.linalg.triangular_solve(
+            chol, y, left_side=True, lower=True, transpose_a=True
+        )
+
+    def one(sigma):
+        x = a_sub - sigma * eye
+        fro = jnp.linalg.norm(x)
+        row1 = jnp.max(jnp.sum(jnp.abs(x), axis=1))
+        alpha = jnp.minimum(fro, row1) + jnp.asarray(1e-30, x.dtype)
+        x = x / alpha
+
+        def step(x, abc):
+            a_c, b_c, c_c = abc[0], abc[1], abc[2]
+            x2 = x @ x
+            y = spd_solve(c_c * x2 + eye, x)
+            x = (b_c / c_c) * x + (a_c - b_c / c_c) * y
+            return 0.5 * (x + x.T), None
+
+        x, _ = jax.lax.scan(step, x, coeffs_arr)
+
+        def polish(_, x):
+            x = 0.5 * x @ (3.0 * eye - x @ x)
+            return 0.5 * (x + x.T)
+
+        x = jax.lax.fori_loop(0, ns_iters, polish, x)
+        tr = jnp.trace(x)
+        err = jnp.linalg.norm(x @ (x @ probes) - probes) / jnp.linalg.norm(
+            probes
+        )
+        return x, tr, err
+
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(one)(sigmas)
+
+
 def distributed_eigh(
     a,
     mesh: Optional[Mesh] = None,
     axis: str = "i",
     block: Optional[int] = None,
-    base_size: int = 1024,
+    base_size: int = 2048,
     l0: float = 1e-6,
     seed: int = 0,
     max_depth: int = 32,
     allow_local_fallback: bool = False,
+    batch_threshold: int = 8192,
 ):
     """Full eigendecomposition (w ascending, V) via spectral D&C.
 
@@ -279,71 +403,90 @@ def distributed_eigh(
         # cascades into NaNs.  So: try several shifts, accept the first
         # whose sign matrix is a numerical involution with an interior
         # rank split, and otherwise fall back to a local solve.
-        dvals = np.asarray(jax.device_get(jnp.diagonal(a_sub)), np.float64)
-        candidates = []
-        for s in (
-            float(np.median(dvals)),
-            0.5 * (float(dvals.min()) + float(dvals.max())),
-            float(np.quantile(dvals, 0.25)),
-            float(np.quantile(dvals, 0.75)),
-        ):
-            if all(abs(s - c) > 1e-12 * max(1.0, abs(s)) for c in candidates):
-                candidates.append(s)
-        eps = float(jnp.finfo(a_sub.dtype).eps)
-        inv_tol = 100.0 * math.sqrt(eps)
-        eye = jnp.eye(m, dtype=a_sub.dtype)
         # involution probe: || U (U v) - v || over a few random vectors
         # is O(m^2) per candidate where the exact || U^2 - I ||_F check
         # costs a whole extra m^3 matmul; the sign map's failure mode
         # (sigma on an eigenvalue) inflates the residual by orders of
         # magnitude, so a probe discriminates just as reliably
+        eps = float(jnp.finfo(a_sub.dtype).eps)
+        inv_tol = 100.0 * math.sqrt(eps)
+        eye = jnp.eye(m, dtype=a_sub.dtype)
         probes = jnp.asarray(
             rng.standard_normal((m, 4)) / math.sqrt(m), a_sub.dtype
         )
+        coeffs = jnp.asarray(
+            np.asarray(qdwh_coefficients(l0), dtype=np.float64),
+            dtype=a_sub.dtype,
+        )
         split = None
-        for sigma in candidates:
-            u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
-            # ONE device_get for both scalars: through a remote chip
-            # tunnel every host sync costs a full round trip, and the
-            # recursion does one of these per shift candidate
-            tr_dev = jnp.trace(u)
-            err_dev = jnp.linalg.norm(
-                u @ (u @ probes) - probes
-            ) / jnp.linalg.norm(probes)
-            tr, inv_err = map(float, jax.device_get((tr_dev, err_dev)))
-            if not math.isfinite(tr):
-                continue
-            k = int(round((m - tr) / 2.0))
-            if k <= 0 or k >= m:
-                continue
-            if not math.isfinite(inv_err) or inv_err > inv_tol:
-                continue
-            split = (u, k)
-            break
+        if m <= batch_threshold:
+            # one device program for ALL candidates, one host fetch
+            us, trs, errs = _batched_split(a_sub, probes, coeffs, 2)
+            trs_h, errs_h = (
+                np.asarray(v, np.float64)
+                for v in jax.device_get((trs, errs))
+            )
+            for i in range(len(trs_h)):
+                tr, inv_err = float(trs_h[i]), float(errs_h[i])
+                if not math.isfinite(tr):
+                    continue
+                k = int(round((m - tr) / 2.0))
+                if k <= 0 or k >= m:
+                    continue
+                if not math.isfinite(inv_err) or inv_err > inv_tol:
+                    continue
+                split = (us[i], k)
+                break
+        else:
+            # beyond one device's memory: sharded sign iterations, one
+            # candidate at a time (one RTT each; the m^3 work dwarfs it)
+            dvals = np.asarray(jax.device_get(jnp.diagonal(a_sub)), np.float64)
+            candidates = []
+            for s in (
+                float(np.median(dvals)),
+                0.5 * (float(dvals.min()) + float(dvals.max())),
+                float(np.quantile(dvals, 0.25)),
+                float(np.quantile(dvals, 0.75)),
+            ):
+                if all(
+                    abs(s - c) > 1e-12 * max(1.0, abs(s)) for c in candidates
+                ):
+                    candidates.append(s)
+            for sigma in candidates:
+                u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
+                tr_dev = jnp.trace(u)
+                err_dev = jnp.linalg.norm(
+                    u @ (u @ probes) - probes
+                ) / jnp.linalg.norm(probes)
+                tr, inv_err = map(float, jax.device_get((tr_dev, err_dev)))
+                if not math.isfinite(tr):
+                    continue
+                k = int(round((m - tr) / 2.0))
+                if k <= 0 or k >= m:
+                    continue
+                if not math.isfinite(inv_err) or inv_err > inv_tol:
+                    continue
+                split = (u, k)
+                break
         if split is None:
             return local_or_raise(a_sub, depth, "all shift candidates failed")
         u, k = split
-        # projector range finding + Rayleigh quotients stay row-sharded;
-        # the (k, k) quotients replicate only below base_size (they are
-        # the next recursion's operands)
+        # projector range finding + CholeskyQR2 + Rayleigh quotients in
+        # ONE jitted dispatch per split (remote-tunnel friendly); stays
+        # row-sharded when the row count divides the mesh
         basis_spec = spec if m % n_dev == 0 else None
-        q1 = _subspace_basis(0.5 * (eye - u), k, rng, basis_spec)
-        q2 = _subspace_basis(0.5 * (eye + u), m - k, rng, basis_spec)
-        a1 = q1.T @ (a_sub @ q1)
-        a2 = q2.T @ (a_sub @ q2)
-        a1 = constrain(0.5 * (a1 + a1.T))
-        a2 = constrain(0.5 * (a2 + a2.T))
-        fin1, fin2 = jax.device_get(
-            (jnp.all(jnp.isfinite(a1)), jnp.all(jnp.isfinite(a2)))
+        q1, q2, a1, a2, fin = _split_apply(
+            a_sub, u, int(rng.integers(1 << 31)), k, basis_spec
         )
-        if not (bool(fin1) and bool(fin2)):
+        if not bool(jax.device_get(fin)):
             return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
         w1, v1 = rec(a1, depth + 1)
         w2, v2 = rec(a2, depth + 1)
-        w = jnp.concatenate([w1, w2])
-        v = jnp.concatenate([q1 @ v1, q2 @ v2], axis=1)
-        return w, v
+        return _combine(q1, q2, w1, v1, w2, v2)
 
-    w, v = rec(a, 0)
-    order = jnp.argsort(w)
-    return w[order], v[:, order]
+    with jax.default_matmul_precision("highest"):
+        # eager glue in rec needs true-fp32 matmuls on TPU as much as
+        # the jitted interiors do
+        w, v = rec(a, 0)
+        order = jnp.argsort(w)
+        return w[order], v[:, order]

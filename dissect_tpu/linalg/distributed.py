@@ -566,7 +566,10 @@ def _local_spd_inverse_fused(
         panel_new = jnp.where(
             trailing, solved, jnp.where(in_diag & owns, w_kk_scatter, c_loc)
         )
-        return jax.lax.dynamic_update_slice(a_loc, panel_new, (zero, col0)), 0.0
+        return (
+            jax.lax.dynamic_update_slice(a_loc, panel_new, (zero, col0)),
+            jnp.zeros((), a_loc.dtype),
+        )
 
     def lauum_step(k, a_loc):
         col0 = _sigma_col0(k, block, n_blocks, interleave)
@@ -586,7 +589,7 @@ def _local_spd_inverse_fused(
             jax.lax.dynamic_update_slice(a_loc, r_panel, (local_k0, zero)),
             a_loc,
         )
-        return a_loc, 0.0
+        return a_loc, jnp.zeros((), a_loc.dtype)
 
     def body(i, carry):
         a_loc, logdet = carry

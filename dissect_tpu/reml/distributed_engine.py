@@ -394,6 +394,103 @@ def _distributed_dense_quantities(
     }
 
 
+@partial(jax.jit, static_argnames=("mesh", "block", "use_ml", "newton_steps"))
+def _distributed_dense_quantities_mixed(
+    sc64, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2
+):
+    """float64-quality REML quantities WITHOUT an f64 factorization.
+
+    TPU has no fast f64 Cholesky (XLA scalarizes it: measured 0.2
+    GFLOP/s on v5e) but emulates f64 MATMULS acceptably — so the f64
+    endgame becomes: factor V in fp32 with the fused blocked kernel,
+    then Newton-Schulz-refine the inverse in f64
+    (Vi <- Vi (2I - V Vi), error squares per step: (eps32*cond)^(2^k))
+    and correct log|V| with the series
+    log det(Vi V) = tr(E) - tr(E^2)/2 + O(||E||^3), E = Vi V - I.
+    All downstream quantities (grad, AI, y'Py) evaluate in f64 against
+    the refined inverse.  This is the TPU-native analog of the
+    reference's fp64-late precision switch (reml.cpp:1673-1724) at
+    sizes where a host-CPU f64 Newton would take hours.
+    """
+    row_spec = NamedSharding(mesh, P("i", None))
+    f64 = jnp.float64
+    v64 = jax.lax.with_sharding_constraint(
+        sc64.assemble_dense(theta.astype(f64), extra_diag=pad_diag.astype(f64)),
+        row_spec,
+    )
+    vi32, logdet32 = spd_inverse_logdet_presharded(
+        v64.astype(jnp.float32), mesh, "i", block
+    )
+    vi = vi32.astype(f64)
+    n = v64.shape[0]
+    # Newton products double as the log-det correction source.  With
+    # P_k = X_k V, Newton gives EXACTLY P2 = 2 P1 - P1^2, hence
+    # E2 = -E1^2: the 2nd and 3rd series terms come from elementwise
+    # contractions of products already computed — no extra matmuls.
+    p1 = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
+    vi = 2.0 * vi - p1 @ vi
+    p2 = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
+    tr_p1 = jnp.trace(p1)
+    tr_p2 = jnp.trace(p2)
+    tr_e = tr_p1 - n
+    tr_e2 = -(tr_p2 - n)  # tr(E1^2) = -tr(E2)
+    tr_e3 = -(jnp.vdot(p1.T, p2) - tr_p1 - tr_p2 + n)  # -tr(E1 E2)
+    # log det(P1) = log det(I + E1): series to O(||E1||^4)
+    logdet_v = (
+        logdet32.astype(f64) + tr_e - 0.5 * tr_e2 + tr_e3 / 3.0
+    )
+    vi = 2.0 * vi - p2 @ vi
+    for _ in range(max(newton_steps - 2, 0)):
+        p = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
+        vi = 2.0 * vi - p @ vi
+    vi = jax.lax.with_sharding_constraint(0.5 * (vi + vi.T), row_spec)
+
+    y = y.astype(f64)
+    x = x.astype(f64)
+    vix = vi @ x
+    xtvix = x.T @ vix
+    lx = jnp.linalg.cholesky(xtvix)  # (c, c): scalar f64 is fine here
+    li = jax.lax.linalg.triangular_solve(
+        lx, jnp.eye(x.shape[1], dtype=f64), left_side=True, lower=True
+    )
+    xtvix_i = li.T @ li
+    logdet_x = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lx)))
+
+    def apply_p(z):
+        return vi @ z - vix @ (xtvix_i @ (vix.T @ z))
+
+    py = apply_p(y)
+    ytpy = y @ py
+    mpy = sc64.elements_times_vector(py)
+    tr_vi_e = sc64.element_traces_dense(vi)
+    mw = sc64.elements_times_matrix(vix)
+    quad_e = jnp.einsum("nc,enk->eck", vix, mw)
+    tr_p_full = tr_vi_e - jnp.einsum("ck,eck->e", xtvix_i, quad_e)
+    tr_e_el = tr_vi_e if use_ml else tr_p_full
+    ypmpy_e = mpy @ py
+    a = sc64.coefficient_jacobian(theta.astype(f64))
+    grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e_el)
+    subvpy = jnp.einsum("ei,ek->ik", mpy, a)
+    psubvpy = apply_p(subvpy)
+    ai = 0.5 * subvpy.T @ psubvpy
+    h = sc64.coefficient_hessian(theta.astype(f64))
+    ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_full - ypmpy_e)
+    return {
+        "logdet_v": logdet_v,
+        "logdet_xtvix": logdet_x,
+        "ytpy": ytpy,
+        "grad": grad,
+        "ai": ai,
+        "finite": jnp.isfinite(logdet_v)
+        & jnp.isfinite(ytpy)
+        & jnp.all(jnp.isfinite(grad))
+        & jnp.all(jnp.isfinite(ai)),
+        "py": py,
+        "vix": vix,
+        "xtvix_i": xtvix_i,
+    }
+
+
 @partial(jax.jit, static_argnames=("mesh", "block", "element_ids"))
 def _distributed_blup_error_diag(
     sc, theta, x, pad_diag, mesh, block, element_ids
@@ -514,6 +611,13 @@ class DistributedREMLEngine(REMLEngine):
             self.block,
             use_ml,
         )
+        # f64 endgame flavor: direct f64 factorization on CPU meshes
+        # (exact, fast there); fp32-factor + f64 Newton-refined inverse
+        # on accelerators (TPU XLA scalarizes f64 Cholesky — measured
+        # 0.2 GFLOP/s — but emulates f64 matmuls usably)
+        self._endgame_mixed = (
+            mesh.devices.flat[0].platform != "cpu"
+        )
 
     # --- post-fit consumers: sc-aware, pad rows sliced back out ------------
     def compute_blup_individuals(self, sub_id: str):
@@ -601,12 +705,17 @@ class DistributedREMLEngine(REMLEngine):
             y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
             x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
             pad64 = jnp.asarray(np.asarray(self._pad_diag, dtype=np.float64))
+            core = (
+                _distributed_dense_quantities_mixed
+                if self._endgame_mixed
+                else _distributed_dense_quantities
+            )
             q = None
             prev_ll = -np.inf
             log_likelihood = -np.inf
             ai_inv_full = np.zeros((len(theta), len(theta)))
             for _ in range(max(n_steps, 1)):
-                q = _distributed_dense_quantities(
+                q = core(
                     sc64,
                     jnp.asarray(theta, dtype=jnp.float64),
                     y64,

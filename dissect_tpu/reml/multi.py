@@ -77,10 +77,19 @@ class MultiREML:
         options: Optional[REMLOptions] = None,
         use_correlations: bool = False,
         environmental_covariance: bool = True,
+        mesh=None,
+        distributed_block=None,
     ):
         self.options = options or REMLOptions()
         self.use_correlations = use_correlations
         self.environmental_covariance = environmental_covariance
+        # with a mesh the (Tn, Tn) covariance stays row-sharded for the
+        # whole fit INCLUDING the float64 endgame (the distributed
+        # engine's quantities never gather, distributed_engine.py) —
+        # the path that makes a 10k-cohort bivariate (Tn=20k) f64
+        # finish feasible where a host Newton would crawl
+        self.mesh = mesh
+        self.distributed_block = distributed_block
         self.n_traits = len(phenotypes)
         if covariates is None:
             covariates = [None] * self.n_traits
@@ -211,7 +220,15 @@ class MultiREML:
                 weights=weights,
                 use_correlations=self.use_correlations,
             )
-        engine = REMLEngine(model, self.y, self.x, self.options)
+        if self.mesh is not None:
+            from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
+
+            engine = DistributedREMLEngine(
+                model, self.y, self.x, self.mesh, self.options,
+                block=self.distributed_block,
+            )
+        else:
+            engine = REMLEngine(model, self.y, self.x, self.options)
         result = engine.fit(initial_theta)
 
         theta = result.variances

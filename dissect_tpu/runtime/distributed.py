@@ -120,7 +120,8 @@ def startup_runtime(args) -> Optional[MeshContext]:
 
 
 def use_distributed(
-    args, n_individuals: int, force: bool = False
+    args, n_individuals: int, force: bool = False,
+    allow_single_device: bool = False,
 ) -> Optional[MeshContext]:
     """The mesh to run this analysis on, or None for the single-device
     path.  Engaged above --distributed-threshold individuals (the
@@ -128,9 +129,22 @@ def use_distributed(
     on TPU one chip is FASTER below the HBM limit, so the sharded
     engines only pay off at scale), under --force-distributed, or when
     the caller forces it (e.g. --parallel-gwas for the SNP-axis
-    sharding, gwas.cpp:557-687)."""
+    sharding, gwas.cpp:557-687).
+
+    `allow_single_device`: REML callers set this so big-N fits on ONE
+    accelerator chip still go through the sharded engine — same speed
+    there (BENCH r03: blocked vs XLA inverse within 3%), but its f64
+    endgame runs ON DEVICE (mixed fp32-factor/f64-refine), where the
+    plain engine's host-CPU f64 Newton is intractable at Tn ~ 20k+."""
     ctx = get_mesh_context()
-    if ctx is None or ctx.n_devices <= 1:
+    if ctx is None:
+        return None
+    if ctx.n_devices <= 1 and not (
+        allow_single_device
+        and ctx.mesh.devices.flat[0].platform != "cpu"
+        and n_individuals
+        >= getattr(args, "distributed_threshold", 16384)
+    ):
         return None
     if force or getattr(args, "force_distributed", False):
         return ctx

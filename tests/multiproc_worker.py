@@ -1,19 +1,23 @@
-"""One process of a 2-process CPU multi-host simulation.
+"""One process of an N-process CPU multi-host simulation.
 
-Launched by tests/test_multiprocess.py: each worker owns 4 virtual CPU
-devices (8 global), initializes jax.distributed against a shared local
+Launched by tests/test_multiprocess.py: each worker owns a slice of
+virtual CPU devices, initializes jax.distributed against a shared local
 coordinator, and runs
 
   1. a global_sharded_array round trip (the
      make_array_from_process_local_data branch that single-process runs
      never reach; parity: the per-process BED segment reads + collective
      assembly of genotype.cpp:639-707);
-  2. the PRODUCTION CLI --make-grm with --force-distributed, which
-     streams the per-host SNP-row shards through
-     _stream_grm_multiprocess and writes the .grm.* artifact from the
-     root process only (communicator.cpp:565-628's MPI-IO analog).
+  2. the PRODUCTION CLI with --force-distributed: --make-grm streaming
+     per-host SNP-row shards through _stream_grm_multiprocess, --reml on
+     the row-sharded engine, --pca, --gwas with SNP-axis mesh sharding
+     (the grouped-communicator analog, gwas.cpp:557-687) and
+     --bivar-reml on the sharded multi-trait engine
+     (multireml.cpp:57-137) — root-only artifact writes throughout
+     (communicator.cpp:565-628's MPI-IO analog).
 
-Usage: multiproc_worker.py <process_index> <coordinator> <bfile> <out>
+Usage: multiproc_worker.py <idx> <nprocs> <devs_per_proc> <coordinator>
+       <bfile> <out>
 """
 
 import os
@@ -21,23 +25,24 @@ import sys
 
 
 def main():
-    idx, coordinator, bfile, out = (
-        int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4],
+    idx, nprocs, devs, coordinator, bfile, out = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+        sys.argv[4], sys.argv[5], sys.argv[6],
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + f" --xla_force_host_platform_device_count={devs}"
     ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     jax.distributed.initialize(
-        coordinator_address=coordinator, num_processes=2, process_id=idx
+        coordinator_address=coordinator, num_processes=nprocs, process_id=idx
     )
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 8, len(jax.devices())
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == nprocs * devs, len(jax.devices())
 
     import numpy as np
     from jax.sharding import PartitionSpec as P
@@ -72,14 +77,15 @@ def main():
     np.testing.assert_array_equal(back, full)
 
     lo, hi = snp_shard_bounds(100)
-    assert (lo, hi) == ((0, 50) if idx == 0 else (50, 100))
+    per = -(-100 // nprocs)
+    assert (lo, hi) == (min(idx * per, 100), min((idx + 1) * per, 100))
 
-    # --- 2. the production CLI, distributed GRM + REML + PCA -------------
+    # --- 2. the production CLI, distributed end to end -------------------
     from dissect_tpu.analysis.dispatcher import main as cli_main
 
     dist = ["--mesh", "auto", "--force-distributed"]
     cli_main(["--make-grm", "--bfile", bfile, "--out", out] + dist)
-    # phenotype written beside the out prefix by the launcher
+    # phenotype files written beside the out prefix by the launcher
     cli_main(
         ["--reml", "--grm", out, "--pheno", f"{out}.pheno.txt",
          "--reml-maxit", "40", "--out", f"{out}.r"] + dist
@@ -87,6 +93,20 @@ def main():
     cli_main(
         ["--pca", "--grm", out, "--num-eval", "4",
          "--out", f"{out}.p"] + dist
+    )
+    # mixed-model GWAS with the SNP axis sharded over the multi-host
+    # mesh (gwas.cpp:557-687's grouped communicators) — exercises the
+    # to_host materialization of not-fully-addressable results
+    cli_main(
+        ["--gwas", "--bfile", bfile, "--grm", out, "--pheno",
+         f"{out}.pheno.txt", "--parallel-gwas", "--out", f"{out}.g"]
+        + dist
+    )
+    # bivariate REML through the sharded multi-trait engine
+    cli_main(
+        ["--bivar-reml", "--grm", out, "--pheno", f"{out}.pheno2.txt",
+         "--pheno-cols", "1,2", "--reml-maxit", "40",
+         "--out", f"{out}.b"] + dist
     )
     print(f"WORKER_{idx}_OK", flush=True)
 

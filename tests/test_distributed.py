@@ -205,6 +205,86 @@ class TestDistributedReml:
             dist.residuals(), plain.residuals(), rtol=1e-5, atol=1e-7
         )
 
+    def test_mixed_precision_endgame_matches_direct_f64(self, rng, mesh1d):
+        """The TPU-flavor endgame (fp32 factorization + f64 Newton-
+        refined inverse + log-det correction series) reproduces the
+        direct f64 factorization's quantities and fit."""
+        import jax.numpy as jnp
+        import pytest
+        from dissect_tpu.reml.builders import build_variance_model
+        from dissect_tpu.reml.distributed_engine import (
+            DistributedREMLEngine,
+            _distributed_dense_quantities,
+            _distributed_dense_quantities_mixed,
+        )
+
+        n = 192
+        z = rng.normal(size=(4 * n, n))
+        k = z.T @ z / (4 * n)
+        el = np.linalg.cholesky(k + 1e-8 * np.eye(n))
+        y = el @ rng.normal(size=n) * 0.8 + rng.normal(size=n) * 0.6
+        x = np.ones((n, 1))
+        model = build_variance_model([k], ["GRM"], [np.var(y, ddof=1)], [0.5])
+        eng = DistributedREMLEngine(model, y, x, mesh1d, block=8)
+        theta = jnp.asarray([0.7, 0.5], jnp.float64)
+        import dataclasses
+        import jax as _jax
+
+        with _jax.enable_x64():
+            sc64 = dataclasses.replace(
+                eng._sc,
+                element_matrices=tuple(
+                    jnp.asarray(np.asarray(m, np.float64))
+                    for m in eng._sc.element_matrices
+                ),
+                powers=jnp.asarray(np.asarray(eng._sc.powers, np.float64)),
+                factors=jnp.asarray(np.asarray(eng._sc.factors, np.float64)),
+            )
+            args = (
+                sc64, theta,
+                jnp.asarray(np.asarray(eng.y, np.float64)),
+                jnp.asarray(np.asarray(eng.x, np.float64)),
+                jnp.asarray(np.asarray(eng._pad_diag, np.float64)),
+            )
+            qd = _distributed_dense_quantities(
+                *args, eng.mesh, eng.block, False
+            )
+            qm = _distributed_dense_quantities_mixed(
+                *args, eng.mesh, eng.block, False
+            )
+            # logdet carries the fp32-pipeline's own rounding (the
+            # series corrects the factor-vs-V mismatch to O(||E||^4)
+            # but not the trtri/lauum accumulation noise) — well under
+            # the 1e-4 logL convergence window either way
+            assert float(qm["logdet_v"]) == pytest.approx(
+                float(qd["logdet_v"]), abs=2e-5
+            )
+            for key in ("logdet_xtvix", "ytpy"):
+                assert float(qm[key]) == pytest.approx(
+                    float(qd[key]), rel=1e-9, abs=1e-8
+                ), key
+            np.testing.assert_allclose(
+                np.asarray(qm["grad"]), np.asarray(qd["grad"]),
+                rtol=1e-6, atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(qm["ai"]), np.asarray(qd["ai"]),
+                rtol=1e-6, atol=1e-8,
+            )
+        # full fit with the mixed endgame forced (CPU mesh would
+        # normally take the direct path)
+        model2 = build_variance_model([k], ["GRM"], [np.var(y, ddof=1)], [0.5])
+        eng2 = DistributedREMLEngine(model2, y, x, mesh1d, block=8)
+        eng2._endgame_mixed = True
+        r2 = eng2.fit()
+        model3 = build_variance_model([k], ["GRM"], [np.var(y, ddof=1)], [0.5])
+        r3 = DistributedREMLEngine(model3, y, x, mesh1d, block=8).fit()
+        assert r2.success and r3.success
+        np.testing.assert_allclose(r2.variances, r3.variances, rtol=1e-6)
+        assert r2.log_likelihood == pytest.approx(
+            r3.log_likelihood, rel=1e-9
+        )
+
     def test_full_distributed_fit(self, rng, mesh1d):
         from dissect_tpu.reml.builders import build_variance_model
         from dissect_tpu.reml.engine import REMLEngine, REMLOptions

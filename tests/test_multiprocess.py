@@ -1,12 +1,15 @@
-"""2-process CPU multi-host simulation of the distributed IO path.
+"""Multi-process CPU multi-host simulation of the distributed paths.
 
-Spawns two real processes (each with 4 virtual CPU devices) that
+Spawns real processes (each with a slice of virtual CPU devices) that
 initialize jax.distributed against a local coordinator and run the
-production CLI --make-grm through _stream_grm_multiprocess — the
-branch single-process tests can never reach.  The root-written .grm.*
-artifact must equal the single-process result (parity intent:
-per-process BED block-row reads + collective assembly,
-genotype.cpp:639-707 / communicator.cpp:565-628).
+production CLI end to end — --make-grm through
+_stream_grm_multiprocess, --reml / --bivar-reml on the row-sharded
+engines, --pca, and --gwas with the SNP axis sharded over the
+multi-host mesh — the branches single-process tests can never reach.
+Root-written artifacts must equal the single-process results (parity
+intent: per-process BED block-row reads + collective assembly,
+genotype.cpp:639-707 / communicator.cpp:565-628; grouped-communicator
+GWAS, gwas.cpp:557-687).
 """
 
 import os
@@ -30,27 +33,31 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_grm_matches_single(tmp_path, rng):
-    d = make_dosage(rng, 40, 48, missing_rate=0.03)
-    bfile, data = make_plink(tmp_path, d, prefix="cohort")
-    y = rng.normal(size=48)
-    with open(f"{tmp_path}/multi.pheno.txt", "w") as fh:
-        for i, ind in enumerate(data.individuals):
-            fh.write(f"{ind.family_id} {ind.individual_id} {y[i]:.6g}\n")
+def _reml_vars(path):
+    out = {}
+    for line in open(path):
+        parts = line.split()
+        if len(parts) >= 2 and (
+            parts[0].startswith("Var(") or parts[0].startswith("Covar(")
+        ):
+            try:
+                out.setdefault(parts[0], float(parts[1]))
+            except ValueError:
+                pass
+    return out
 
-    # single-process reference result
-    from dissect_tpu.analysis.dispatcher import main as cli_main
-    from dissect_tpu.runtime.mesh import set_mesh_context
 
-    try:
-        cli_main(["--make-grm", "--bfile", bfile, "--out",
-                  f"{tmp_path}/single", "--mesh", "none"])
-        cli_main(["--reml", "--grm", f"{tmp_path}/single", "--pheno",
-                  f"{tmp_path}/multi.pheno.txt", "--reml-maxit", "40",
-                  "--out", f"{tmp_path}/single.r", "--mesh", "none"])
-    finally:
-        set_mesh_context(None)
+def _gwas_table(path):
+    rows = {}
+    with open(path) as fh:
+        header = fh.readline().split()
+        for line in fh:
+            parts = line.split()
+            rows[parts[1]] = dict(zip(header[2:], parts[2:]))
+    return rows
 
+
+def _run_workers(nprocs, devs, bfile, tmp_path, prefix):
     coordinator = f"localhost:{_free_port()}"
     env = {
         k: v
@@ -61,17 +68,17 @@ def test_two_process_grm_matches_single(tmp_path, rng):
     env["DISSECT_TPU_PLATFORM"] = "cpu"  # belt-and-braces platform pin
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), coordinator, bfile,
-             f"{tmp_path}/multi"],
+            [sys.executable, str(WORKER), str(i), str(nprocs), str(devs),
+             coordinator, bfile, f"{tmp_path}/{prefix}"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             env=env, cwd=str(tmp_path), text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -81,10 +88,60 @@ def test_two_process_grm_matches_single(tmp_path, rng):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"WORKER_{i}_OK" in out
 
+
+@pytest.mark.parametrize("nprocs,devs", [(2, 4), (4, 2)])
+def test_multi_process_matches_single(tmp_path, rng, nprocs, devs):
+    d = make_dosage(rng, 40, 48, missing_rate=0.03)
+    bfile, data = make_plink(tmp_path, d, prefix="cohort")
+    # phenotypes with real genetic signal: noise-only y drives h2 -> 0
+    # and every per-SNP ML refit into .unfitted (no .gwas.snps rows)
+    dd = np.asarray(d, dtype=np.float64)
+    dd[dd < 0] = 0.0  # missing coded -1
+    z = (dd - dd.mean(axis=1, keepdims=True)) / np.maximum(
+        dd.std(axis=1, keepdims=True), 1e-6
+    )
+    g = z.T @ rng.normal(size=40) / np.sqrt(40)
+    y = np.column_stack([
+        g + 0.7 * rng.normal(size=48),
+        0.8 * g + 0.9 * rng.normal(size=48),
+    ])
+    prefix = f"multi{nprocs}"
+    with open(f"{tmp_path}/{prefix}.pheno.txt", "w") as fh:
+        for i, ind in enumerate(data.individuals):
+            fh.write(f"{ind.family_id} {ind.individual_id} {y[i, 0]:.6g}\n")
+    with open(f"{tmp_path}/{prefix}.pheno2.txt", "w") as fh:
+        for i, ind in enumerate(data.individuals):
+            fh.write(
+                f"{ind.family_id} {ind.individual_id} "
+                f"{y[i, 0]:.6g} {y[i, 1]:.6g}\n"
+            )
+
+    # single-process reference results
+    from dissect_tpu.analysis.dispatcher import main as cli_main
+    from dissect_tpu.runtime.mesh import set_mesh_context
+
+    try:
+        cli_main(["--make-grm", "--bfile", bfile, "--out",
+                  f"{tmp_path}/single", "--mesh", "none"])
+        cli_main(["--reml", "--grm", f"{tmp_path}/single", "--pheno",
+                  f"{tmp_path}/{prefix}.pheno.txt", "--reml-maxit", "40",
+                  "--out", f"{tmp_path}/single.r", "--mesh", "none"])
+        cli_main(["--gwas", "--bfile", bfile, "--grm", f"{tmp_path}/single",
+                  "--pheno", f"{tmp_path}/{prefix}.pheno.txt",
+                  "--out", f"{tmp_path}/single.g", "--mesh", "none"])
+        cli_main(["--bivar-reml", "--grm", f"{tmp_path}/single", "--pheno",
+                  f"{tmp_path}/{prefix}.pheno2.txt", "--pheno-cols", "1,2",
+                  "--reml-maxit", "40",
+                  "--out", f"{tmp_path}/single.b", "--mesh", "none"])
+    finally:
+        set_mesh_context(None)
+
+    _run_workers(nprocs, devs, bfile, tmp_path, prefix)
+
     from dissect_tpu.io.grm_io import read_grm
 
     single = read_grm(f"{tmp_path}/single")
-    multi = read_grm(f"{tmp_path}/multi")
+    multi = read_grm(f"{tmp_path}/{prefix}")
     assert single["individual_keys"] == multi["individual_keys"]
     np.testing.assert_allclose(
         np.asarray(multi["kernel"]), np.asarray(single["kernel"]),
@@ -94,21 +151,9 @@ def test_two_process_grm_matches_single(tmp_path, rng):
         np.asarray(multi["counts"]), np.asarray(single["counts"])
     )
 
-    # --reml through the DistributedREMLEngine on 2 processes: the
-    # root-written variances must match the single-process fit
-    def reml_vars(path):
-        out = {}
-        for line in open(path):
-            parts = line.split()
-            if len(parts) >= 2 and parts[0].startswith("Var("):
-                try:
-                    out.setdefault(parts[0], float(parts[1]))
-                except ValueError:
-                    pass
-        return out
-
-    v_single = reml_vars(f"{tmp_path}/single.r.reml")
-    v_multi = reml_vars(f"{tmp_path}/multi.r.reml")
+    # --reml on the DistributedREMLEngine: root-written variances match
+    v_single = _reml_vars(f"{tmp_path}/single.r.reml")
+    v_multi = _reml_vars(f"{tmp_path}/{prefix}.r.reml")
     assert set(v_single) == set(v_multi) and v_single
     for key in v_single:
         np.testing.assert_allclose(
@@ -116,5 +161,27 @@ def test_two_process_grm_matches_single(tmp_path, rng):
             err_msg=key,
         )
     # --pca through the distributed dispatch (randomized top-4 here)
-    evals = np.loadtxt(f"{tmp_path}/multi.p.pca.eigenvalues")
+    evals = np.loadtxt(f"{tmp_path}/{prefix}.p.pca.eigenvalues")
     assert np.isfinite(evals).all() and evals.shape == (4,)
+
+    # --gwas with the SNP axis sharded across processes: per-SNP
+    # effects and p-values match the single-process run
+    g_single = _gwas_table(f"{tmp_path}/single.g.gwas.snps")
+    g_multi = _gwas_table(f"{tmp_path}/{prefix}.g.gwas.snps")
+    assert set(g_single) == set(g_multi) and len(g_single) >= 35
+    for snp in g_single:
+        for col in ("BETA", "PV"):
+            np.testing.assert_allclose(
+                float(g_multi[snp][col]), float(g_single[snp][col]),
+                rtol=2e-3, atol=1e-6, err_msg=f"{snp} {col}",
+            )
+
+    # --bivar-reml on the sharded multi-trait engine
+    b_single = _reml_vars(f"{tmp_path}/single.b.reml")
+    b_multi = _reml_vars(f"{tmp_path}/{prefix}.b.reml")
+    assert set(b_single) == set(b_multi) and len(b_single) >= 6
+    for key in b_single:
+        np.testing.assert_allclose(
+            b_multi[key], b_single[key], rtol=5e-3, atol=1e-6,
+            err_msg=key,
+        )
