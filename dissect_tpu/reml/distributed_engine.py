@@ -394,9 +394,13 @@ def _distributed_dense_quantities(
     }
 
 
-@partial(jax.jit, static_argnames=("mesh", "block", "use_ml", "newton_steps"))
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "block", "use_ml", "newton_steps", "logdet_order3"),
+)
 def _distributed_dense_quantities_mixed(
-    sc64, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2
+    sc64, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2,
+    logdet_order3=True,
 ):
     """float64-quality REML quantities WITHOUT an f64 factorization.
 
@@ -434,7 +438,14 @@ def _distributed_dense_quantities_mixed(
     tr_p2 = jnp.trace(p2)
     tr_e = tr_p1 - n
     tr_e2 = -(tr_p2 - n)  # tr(E1^2) = -tr(E2)
-    tr_e3 = -(jnp.vdot(p1.T, p2) - tr_p1 - tr_p2 + n)  # -tr(E1 E2)
+    if logdet_order3:
+        # third-order term: the elementwise tr(E1 E2) contraction keeps
+        # P1 AND P2 co-resident — an extra N^2/D f64 buffer the caller
+        # disables at beyond-HBM N (where the fp32 pipeline's own
+        # rounding noise dominates the series tail anyway)
+        tr_e3 = -(jnp.vdot(p1.T, p2) - tr_p1 - tr_p2 + n)  # -tr(E1 E2)
+    else:
+        tr_e3 = jnp.zeros((), f64)
     # log det(P1) = log det(I + E1): series to O(||E1||^4)
     logdet_v = (
         logdet32.astype(f64) + tr_e - 0.5 * tr_e2 + tr_e3 / 3.0
@@ -705,11 +716,15 @@ class DistributedREMLEngine(REMLEngine):
             y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
             x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
             pad64 = jnp.asarray(np.asarray(self._pad_diag, dtype=np.float64))
-            core = (
-                _distributed_dense_quantities_mixed
-                if self._endgame_mixed
-                else _distributed_dense_quantities
-            )
+            if self._endgame_mixed:
+                # drop the third-order log-det term at large N (it
+                # keeps P1+P2 co-resident — an extra N^2/D f64 buffer)
+                core = partial(
+                    _distributed_dense_quantities_mixed,
+                    logdet_order3=sum(self._sc.trait_sizes) <= 8192,
+                )
+            else:
+                core = _distributed_dense_quantities
             q = None
             prev_ll = -np.inf
             log_likelihood = -np.inf
