@@ -54,6 +54,7 @@ beyond-HBM N.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -190,9 +191,11 @@ class ShardedCovariance:
                 out = out.at[ci : ci + nr].add(m * u[ri : ri + nr])
         else:
             nr, nc = m.shape
-            out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
+            out = out.at[ri : ri + nr].add(_mm_big(m, u[ci : ci + nc]))
             if ti != tj:
-                out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
+                out = out.at[ci : ci + nc].add(
+                    _mm_big(m.T, u[ri : ri + nr])
+                )
         return out
 
     def elements_times_vector(self, u: jax.Array) -> jax.Array:
@@ -222,9 +225,11 @@ class ShardedCovariance:
                     )
             else:
                 nr, nc = m.shape
-                out = out.at[ri : ri + nr].add(m @ u[ci : ci + nc])
+                out = out.at[ri : ri + nr].add(_mm_big(m, u[ci : ci + nc]))
                 if ti != tj:
-                    out = out.at[ci : ci + nc].add(m.T @ u[ri : ri + nr])
+                    out = out.at[ci : ci + nc].add(
+                        _mm_big(m.T, u[ri : ri + nr])
+                    )
             outs.append(out)
         return jnp.stack(outs)
 
@@ -243,7 +248,7 @@ class ShardedCovariance:
                 t = jnp.sum(w[ri + ar, ci + ar] * m)
             else:
                 nr, nc = m.shape
-                t = jnp.einsum("ij,ij->", w[ri : ri + nr, ci : ci + nc], m)
+                t = _tr_prod(w[ri : ri + nr, ci : ci + nc], m)
             traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
         return jnp.stack(traces)
 
@@ -394,71 +399,175 @@ def _distributed_dense_quantities(
     }
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "block", "use_ml", "newton_steps", "logdet_order3"),
-)
-def _distributed_dense_quantities_mixed(
-    sc64, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2,
-    logdet_order3=True,
-):
-    """float64-quality REML quantities WITHOUT an f64 factorization.
+def _pick_chunks(n: int, max_chunk: int) -> int:
+    target = max(1, -(-n // max_chunk))
+    for c in range(target, n + 1):
+        if n % c == 0:
+            return c
+    return 1
 
-    TPU has no fast f64 Cholesky (XLA scalarizes it: measured 0.2
-    GFLOP/s on v5e) but emulates f64 MATMULS acceptably — so the f64
-    endgame becomes: factor V in fp32 with the fused blocked kernel,
-    then Newton-Schulz-refine the inverse in f64
-    (Vi <- Vi (2I - V Vi), error squares per step: (eps32*cond)^(2^k))
-    and correct log|V| with the series
-    log det(Vi V) = tr(E) - tr(E^2)/2 + O(||E||^3), E = Vi V - I.
-    All downstream quantities (grad, AI, y'Py) evaluate in f64 against
-    the refined inverse.  This is the TPU-native analog of the
-    reference's fp64-late precision switch (reml.cpp:1673-1724) at
-    sizes where a host-CPU f64 Newton would take hours.
-    """
+
+def _tr_prod_f64(a, b, max_chunk: int = 2048):
+    """f64 sum(A * B) in row chunks: avoids the full N^2 elementwise
+    temp, einsum's dot_general lowering (whose f64 operand split is an
+    [8, M, K] temp), AND full-operand f32->f64 conversions — chunks
+    are cast after an optimization barrier."""
+    f64 = jnp.float64
+    n = a.shape[0]
+    ck = _pick_chunks(n, max_chunk)
+    rc = n // ck
+
+    def body(k, acc):
+        k0 = (k * rc).astype(jnp.int32)
+        ab = jax.lax.dynamic_slice(a, (k0, jnp.int32(0)), (rc, a.shape[1]))
+        bb = jax.lax.dynamic_slice(b, (k0, jnp.int32(0)), (rc, b.shape[1]))
+        ab, bb = jax.lax.optimization_barrier((ab, bb))
+        return acc + jnp.sum(ab.astype(f64) * bb.astype(f64))
+
+    return jax.lax.fori_loop(0, ck, body, jnp.zeros((), f64))
+
+
+def _is_big(a) -> bool:
+    return a.ndim == 2 and a.shape[0] * a.shape[1] >= 8192 * 8192
+
+
+def _tr_prod(a, b):
+    if not (
+        (a.dtype == jnp.float64 or b.dtype == jnp.float64) and _is_big(a)
+    ):
+        return jnp.einsum("ij,ij->", a, b)
+    return _tr_prod_f64(a, b)
+
+
+def _mm_f64_chunked(a, b, row_spec, max_chunk: int = 2048):
+    """a @ b for large f64 operands, blocked over output columns AND
+    the contraction dimension.
+
+    XLA's v5e f64 dot emulation splits each OPERAND into ~4 f32
+    components materialized as [4, M, K] temps — 6.25 GB per operand
+    for one 20k x 20k product, the compile-time OOM that killed the
+    first bivariate 10k endgame.  Output-column chunking alone does
+    not help (the split scales with the operand, not the output), so
+    the contraction is blocked too: every dot sees (M, kc) x (kc, cc)
+    slices whose split temps are chunk-sized, and the partial products
+    accumulate in f64 (elementwise f64 is cheap)."""
+    n = b.shape[1]
+    kk = a.shape[1]
+    cj = _pick_chunks(n, max_chunk)
+    ck = _pick_chunks(kk, max_chunk)
+    if cj * ck <= 1:
+        out = a.astype(jnp.float64) @ b.astype(jnp.float64)
+        if row_spec is not None:
+            out = jax.lax.with_sharding_constraint(out, row_spec)
+        return out
+    cc = n // cj
+    kc = kk // ck
+
+    def body(idx, out):
+        j = (idx // ck).astype(jnp.int32)
+        k = (idx % ck).astype(jnp.int32)
+        a_blk = jax.lax.dynamic_slice(
+            a, (jnp.int32(0), k * kc), (a.shape[0], kc)
+        )
+        b_blk = jax.lax.dynamic_slice(b, (k * kc, j * cc), (kc, cc))
+        # the barrier pins the f64->f32-components conversion to the
+        # SLICES: without it XLA rewrites convert(slice(x)) as
+        # slice(convert(x)) and hoists a whole [4, N, N] split out of
+        # the loop — the allocation this blocking exists to avoid
+        a_blk, b_blk = jax.lax.optimization_barrier((a_blk, b_blk))
+        part = a_blk.astype(jnp.float64) @ b_blk.astype(jnp.float64)
+        out_blk = jax.lax.dynamic_slice(
+            out, (jnp.int32(0), j * cc), (a.shape[0], cc)
+        )
+        return jax.lax.dynamic_update_slice(
+            out, out_blk + part, (jnp.int32(0), j * cc)
+        )
+
+    out = jax.lax.fori_loop(
+        0, cj * ck, body, jnp.zeros((a.shape[0], n), jnp.float64)
+    )
+    if row_spec is not None:
+        out = jax.lax.with_sharding_constraint(out, row_spec)
+    return out
+
+
+def _mm_big(a, b):
+    """Dot routing: f64-result products with a big left operand go
+    through the chunked f64 product (the v5e emulation's [4, M, K]
+    operand split applies to matvecs and mixed-dtype promotions too);
+    everything else is a plain @."""
+    if not ((a.dtype == jnp.float64 or b.dtype == jnp.float64) and _is_big(a)):
+        return a @ b
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+    out = _mm_f64_chunked(a, bb, None)
+    return out[:, 0] if squeeze else out
+
+
+def _newton_update_f64(vi, v64, row_spec, max_chunk: int = 2048):
+    """X <- 2X - X V X, column-blocked: the N x N product X V is never
+    materialized (each output column block needs only thin
+    intermediates), which is what keeps the f64 endgame of a 20k-row
+    bivariate inside one chip's HBM."""
+    n = vi.shape[0]
+    cj = _pick_chunks(n, max_chunk)
+    cc = n // cj
+
+    def body(j, out):
+        j0 = (j * cc).astype(jnp.int32)
+        vcol = jax.lax.dynamic_slice(vi, (jnp.int32(0), j0), (n, cc))
+        vcol = jax.lax.optimization_barrier(vcol).astype(jnp.float64)
+        t1 = _mm_f64_chunked(v64, vcol, None, max_chunk)
+        t2 = _mm_f64_chunked(vi, t1, None, max_chunk)
+        return jax.lax.dynamic_update_slice(
+            out, 2.0 * vcol - t2, (jnp.int32(0), j0)
+        )
+
+    out = jax.lax.fori_loop(
+        0, cj, body, jnp.zeros(vi.shape, jnp.float64)
+    )
+    if row_spec is not None:
+        out = jax.lax.with_sharding_constraint(out, row_spec)
+    return out
+
+
+@partial(jax.jit, static_argnames=("mesh", "block"))
+def _stage_assemble64(sc, theta, pad_diag, mesh, block):
     row_spec = NamedSharding(mesh, P("i", None))
     f64 = jnp.float64
-    v64 = jax.lax.with_sharding_constraint(
-        sc64.assemble_dense(theta.astype(f64), extra_diag=pad_diag.astype(f64)),
+    return jax.lax.with_sharding_constraint(
+        sc.assemble_dense(
+            theta.astype(f64), extra_diag=pad_diag.astype(f64)
+        ),
         row_spec,
     )
-    vi32, logdet32 = spd_inverse_logdet_presharded(
+
+
+@partial(jax.jit, static_argnames=("mesh", "block"))
+def _stage_inverse32(v64, mesh, block):
+    return spd_inverse_logdet_presharded(
         v64.astype(jnp.float32), mesh, "i", block
     )
-    vi = vi32.astype(f64)
-    n = v64.shape[0]
-    # Newton products double as the log-det correction source.  With
-    # P_k = X_k V, Newton gives EXACTLY P2 = 2 P1 - P1^2, hence
-    # E2 = -E1^2: the 2nd and 3rd series terms come from elementwise
-    # contractions of products already computed — no extra matmuls.
-    p1 = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
-    vi = 2.0 * vi - p1 @ vi
-    p2 = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
-    tr_p1 = jnp.trace(p1)
-    tr_p2 = jnp.trace(p2)
-    tr_e = tr_p1 - n
-    tr_e2 = -(tr_p2 - n)  # tr(E1^2) = -tr(E2)
-    if logdet_order3:
-        # third-order term: the elementwise tr(E1 E2) contraction keeps
-        # P1 AND P2 co-resident — an extra N^2/D f64 buffer the caller
-        # disables at beyond-HBM N (where the fp32 pipeline's own
-        # rounding noise dominates the series tail anyway)
-        tr_e3 = -(jnp.vdot(p1.T, p2) - tr_p1 - tr_p2 + n)  # -tr(E1 E2)
-    else:
-        tr_e3 = jnp.zeros((), f64)
-    # log det(P1) = log det(I + E1): series to O(||E1||^4)
-    logdet_v = (
-        logdet32.astype(f64) + tr_e - 0.5 * tr_e2 + tr_e3 / 3.0
-    )
-    vi = 2.0 * vi - p2 @ vi
-    for _ in range(max(newton_steps - 2, 0)):
-        p = jax.lax.with_sharding_constraint(vi @ v64, row_spec)
-        vi = 2.0 * vi - p @ vi
-    vi = jax.lax.with_sharding_constraint(0.5 * (vi + vi.T), row_spec)
 
+
+@jax.jit
+def _stage_tr(a, b):
+    return _tr_prod(a, b)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _stage_newton(vi, v64, mesh):
+    row_spec = NamedSharding(mesh, P("i", None))
+    return _newton_update_f64(vi, v64, row_spec)
+
+
+@partial(jax.jit, static_argnames=("mesh", "block", "use_ml"))
+def _stage_tail(sc, vi, theta, y, x, mesh, block, use_ml):
+    f64 = jnp.float64
+    theta = theta.astype(f64)
     y = y.astype(f64)
     x = x.astype(f64)
-    vix = vi @ x
+    vix = _mm_big(vi, x)
     xtvix = x.T @ vix
     lx = jnp.linalg.cholesky(xtvix)  # (c, c): scalar f64 is fine here
     li = jax.lax.linalg.triangular_solve(
@@ -468,38 +577,82 @@ def _distributed_dense_quantities_mixed(
     logdet_x = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lx)))
 
     def apply_p(z):
-        return vi @ z - vix @ (xtvix_i @ (vix.T @ z))
+        return _mm_big(vi, z) - vix @ (xtvix_i @ (vix.T @ z))
 
     py = apply_p(y)
     ytpy = y @ py
-    mpy = sc64.elements_times_vector(py)
-    tr_vi_e = sc64.element_traces_dense(vi)
-    mw = sc64.elements_times_matrix(vix)
+    mpy = sc.elements_times_vector(py)
+    tr_vi_e = sc.element_traces_dense(vi)
+    mw = sc.elements_times_matrix(vix)
     quad_e = jnp.einsum("nc,enk->eck", vix, mw)
     tr_p_full = tr_vi_e - jnp.einsum("ck,eck->e", xtvix_i, quad_e)
     tr_e_el = tr_vi_e if use_ml else tr_p_full
     ypmpy_e = mpy @ py
-    a = sc64.coefficient_jacobian(theta.astype(f64))
+    a = sc.coefficient_jacobian(theta)
     grad = 0.5 * (a.T @ ypmpy_e - a.T @ tr_e_el)
     subvpy = jnp.einsum("ei,ek->ik", mpy, a)
     psubvpy = apply_p(subvpy)
     ai = 0.5 * subvpy.T @ psubvpy
-    h = sc64.coefficient_hessian(theta.astype(f64))
+    h = sc.coefficient_hessian(theta)
     ai = ai + 0.25 * jnp.einsum("ekl,e->kl", h, tr_p_full - ypmpy_e)
     return {
-        "logdet_v": logdet_v,
         "logdet_xtvix": logdet_x,
         "ytpy": ytpy,
         "grad": grad,
         "ai": ai,
-        "finite": jnp.isfinite(logdet_v)
-        & jnp.isfinite(ytpy)
+        "finite": jnp.isfinite(ytpy)
         & jnp.all(jnp.isfinite(grad))
         & jnp.all(jnp.isfinite(ai)),
         "py": py,
         "vix": vix,
         "xtvix_i": xtvix_i,
     }
+
+
+def _distributed_dense_quantities_mixed(
+    sc, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2,
+):
+    """float64-quality REML quantities WITHOUT an f64 factorization.
+
+    TPU has no fast f64 Cholesky (XLA scalarizes it: measured 0.2
+    GFLOP/s on v5e) but emulates f64 MATMULS acceptably — so the f64
+    endgame becomes: factor V in fp32 with the fused blocked kernel,
+    then Newton-Schulz-refine the inverse in f64
+    (X <- 2X - X V X, error squares per step: (eps32*cond)^(2^k)) with
+    every product column/contraction-blocked (the v5e f64 dot
+    emulation splits full operands into multi-GB [4, M, K] temps), and
+    correct log|V| with tr-series terms computed as chunked
+    elementwise reductions:
+    log det(X0 V) = tr(E) - tr(E^2)/2 + O(||E||^3), tr(E^2) = -tr(E2).
+
+    Runs as SEPARATE host-called jit stages: one monolithic jit kept
+    every stage's output alive simultaneously (measured 18.4 GB at a
+    20k-row bivariate — the buffer assignment does not reuse across
+    stage boundaries), while staging caps the live set at
+    {V64, X_in, X_out} = 6 f32 planes.  Kernels stay resident in fp32
+    (the same f32-rounded model the fp32 phase optimized); chunk-wise
+    casts feed the f64 arithmetic.  This is the TPU-native analog of
+    the reference's fp64-late precision switch (reml.cpp:1673-1724) at
+    sizes where a host-CPU f64 Newton would take hours.
+    """
+    f64 = jnp.float64
+    theta = jnp.asarray(np.asarray(theta, dtype=np.float64))
+    v64 = _stage_assemble64(sc, theta, pad_diag, mesh, block)
+    vi32, logdet32 = _stage_inverse32(v64, mesh, block)
+    n = v64.shape[0]
+    tr_p1 = _stage_tr(vi32, v64)
+    vi = _stage_newton(vi32, v64, mesh)
+    del vi32
+    tr_p2 = _stage_tr(vi, v64)
+    # log det(X0 V) = tr(E) - tr(E^2)/2, tr(E^2) = -(tr(X1 V) - n)
+    logdet_v = logdet32.astype(f64) + (tr_p1 - n) + 0.5 * (tr_p2 - n)
+    for _ in range(max(newton_steps - 1, 0)):
+        vi = _stage_newton(vi, v64, mesh)
+    del v64
+    q = dict(_stage_tail(sc, vi, theta, y, x, mesh, block, use_ml))
+    q["logdet_v"] = logdet_v
+    q["finite"] = q["finite"] & jnp.isfinite(logdet_v)
+    return q
 
 
 @partial(jax.jit, static_argnames=("mesh", "block", "element_ids"))
@@ -680,6 +833,23 @@ class DistributedREMLEngine(REMLEngine):
             self._final_device_state()["py"], dtype=np.float64
         )[self._real_idx]
 
+    def _refine_float64_host(self, theta, fixed, n_steps):
+        """Endgame fallback beyond the mixed path's HBM budget: run the
+        base engine's exact f64 Newton on the HOST CPU against the
+        UNPADDED problem (self.cc is the original compiled covariance —
+        only y/x need their pad rows stripped for the call)."""
+        self.log.message(
+            "  f64 endgame exceeds the device HBM budget at this size; "
+            "running the host-CPU float64 Newton"
+        )
+        y_pad, x_pad = self.y, self.x
+        self.y = jnp.asarray(np.asarray(y_pad)[self._real_idx])
+        self.x = jnp.asarray(np.asarray(x_pad)[self._real_idx])
+        try:
+            return REMLEngine._refine_float64(self, theta, fixed, n_steps)
+        finally:
+            self.y, self.x = y_pad, x_pad
+
     def _refine_float64(self, theta, fixed, n_steps):
         """float64 endgame WITHOUT gathering: the same row-sharded
         quantities re-run at float64 on the mesh (the distributed analog
@@ -687,43 +857,54 @@ class DistributedREMLEngine(REMLEngine):
         Returns (theta, logL, quantities, AI^-1, converged) like the
         base engine's endgame — steps stop early at convergence so a
         stalled fp32 fit can be salvaged here."""
+        if self._endgame_mixed:
+            # measured v5e budget: the heaviest mixed stage (Newton,
+            # f64 in/out) compiles to ~18.8 GB at n_pad=20480 on one
+            # chip => fits when n_pad <= ~17.5k * sqrt(devices)
+            n_pad = sum(self._sc.trait_sizes)
+            n_dev = self.mesh.shape["i"]
+            if n_pad > int(17500 * math.sqrt(n_dev)):
+                return self._refine_float64_host(theta, fixed, n_steps)
         use_ml = self.options.use_ml
         var_threshold = self.options.variance_convergence_threshold
         rep_spec = NamedSharding(self.mesh, P())
         converged = False
         with jax.enable_x64():
-            def put(m, diag):
-                spec = rep_spec if diag else self._row_spec
-                return jax.device_put(
-                    np.asarray(m, dtype=np.float64), spec
-                )
-
-            sc64 = dataclasses.replace(
-                self._sc,
-                element_matrices=tuple(
-                    put(m, d)
-                    for m, d in zip(
-                        self._sc.element_matrices, self._sc.is_diag
-                    )
-                ),
-                powers=jnp.asarray(
-                    np.asarray(self._sc.powers, dtype=np.float64)
-                ),
-                factors=jnp.asarray(
-                    np.asarray(self._sc.factors, dtype=np.float64)
-                ),
-            )
-            y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
-            x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
-            pad64 = jnp.asarray(np.asarray(self._pad_diag, dtype=np.float64))
             if self._endgame_mixed:
-                # drop the third-order log-det term at large N (it
-                # keeps P1+P2 co-resident — an extra N^2/D f64 buffer)
-                core = partial(
-                    _distributed_dense_quantities_mixed,
-                    logdet_order3=sum(self._sc.trait_sizes) <= 8192,
-                )
+                # the staged mixed endgame reads the RESIDENT fp32
+                # elements (the same f32-rounded model the fp32 phase
+                # optimized) and casts chunk-wise — no f64 kernel
+                # copies in HBM
+                sc64 = self._sc
+                y64, x64, pad64 = self.y, self.x, self._pad_diag
+                core = _distributed_dense_quantities_mixed
             else:
+                def put(m, diag):
+                    spec = rep_spec if diag else self._row_spec
+                    return jax.device_put(
+                        np.asarray(m, dtype=np.float64), spec
+                    )
+
+                sc64 = dataclasses.replace(
+                    self._sc,
+                    element_matrices=tuple(
+                        put(m, d)
+                        for m, d in zip(
+                            self._sc.element_matrices, self._sc.is_diag
+                        )
+                    ),
+                    powers=jnp.asarray(
+                        np.asarray(self._sc.powers, dtype=np.float64)
+                    ),
+                    factors=jnp.asarray(
+                        np.asarray(self._sc.factors, dtype=np.float64)
+                    ),
+                )
+                y64 = jnp.asarray(np.asarray(self.y, dtype=np.float64))
+                x64 = jnp.asarray(np.asarray(self.x, dtype=np.float64))
+                pad64 = jnp.asarray(
+                    np.asarray(self._pad_diag, dtype=np.float64)
+                )
                 core = _distributed_dense_quantities
             q = None
             prev_ll = -np.inf
