@@ -45,9 +45,15 @@ def make_cohort(outdir, n, m, seed, h2=0.5, n_causal=None, prefix="cohort",
         db = (rng.random((e - s, n)) < pb).astype(np.int8)
         db += (rng.random((e - s, n)) < pb).astype(np.int8)
         d[s:e] = db
-    # guarantee polymorphism cheaply
-    d[:, 0] = 0
-    d[:, 1] = 2
+    # guarantee polymorphism WITHOUT poisoning the GRM: the old hack
+    # (individual 0 all-zeros, individual 1 all-twos across every SNP)
+    # gave two individuals ~10x self-relatedness and drove the GWAS
+    # null REML's Var(E) to the boundary — flip one entry per
+    # monomorphic SNP instead
+    alt = d.astype(np.int64).sum(1)
+    mono = np.flatnonzero((alt == 0) | (alt == 2 * n))
+    if mono.size:
+        d[mono, mono % n] = 1
     data = PlinkData(
         snps=[SnpInfo(str(1 + i % 22), f"snp{i}", 0.0, 1000 + i, "A", "C")
               for i in range(m)],

@@ -1811,6 +1811,7 @@ def main(argv=None):
     from dissect_tpu.runtime.timers import install_compile_listener
 
     install_compile_listener()
+    timers.reset()  # in-process sequential runs must not accumulate
     with timers.phase("Total"):
         Analysis(options).run()
     mem = timers.process_memory()

@@ -38,6 +38,18 @@ class Timers:
         self.trace_seconds = 0.0
         self.transfer_seconds = 0.0
 
+    def reset(self) -> None:
+        """Per-invocation reset: `timers` is a module-level global, so
+        in-process sequential CLI calls (tests, benchmark drivers)
+        would otherwise report CUMULATIVE totals/compile times."""
+        self._start.clear()
+        self.elapsed.clear()
+        self._mem_current = 0
+        self.mem_peak = 0
+        self.compile_seconds = 0.0
+        self.trace_seconds = 0.0
+        self.transfer_seconds = 0.0
+
     def set_get(self, name: str, stop: bool = False) -> str:
         now = time.monotonic()
         if not stop:
