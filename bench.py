@@ -314,7 +314,7 @@ def _xla_grm_fallback(latency, best, details):
 
     float(run(0))
     times = []
-    for trial in range(2):
+    for trial in range(1):
         t0 = time.perf_counter()
         outs = [run(trial * reps + r + 1) for r in range(reps)]
         jax.block_until_ready(outs)
@@ -415,16 +415,18 @@ def main():
     except Exception:
         pass
     _checkpoint(best)
-    details["stage"] = "e2e 1M-SNP gwas"
-    try:
-        if time.time() < deadline - 120:
-            _gwas_e2e_1m(latency, deadline, details)
-    except Exception:
-        pass
-    _checkpoint(best)
+    # linalg extras BEFORE the 1M e2e: the eigensolver number is a
+    # round-4 headline and must not be the one the deadline eats
     details["stage"] = "linalg extras"
     try:
         _linalg_extras(latency, deadline, details)
+    except Exception:
+        pass
+    _checkpoint(best)
+    details["stage"] = "e2e 1M-SNP gwas"
+    try:
+        if time.time() < deadline - 60:
+            _gwas_e2e_1m(latency, deadline, details)
     except Exception:
         pass
     details.pop("stage", None)

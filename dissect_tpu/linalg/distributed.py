@@ -485,11 +485,14 @@ def _local_spd_inverse_fused(
     # trailing-update column chunking: a full-width GEMM result is an
     # (n_loc, N) temp per iteration — at beyond-HBM N a whole extra
     # N^2/D buffer per device.  Chunked, the temp is N^2/(chunks*D).
+    # Below HBM-relevant sizes the chunking is pure loop overhead
+    # (measured 3x at n=4096 on one chip), so it only engages at scale.
     n_chunks = 1
-    for d in (8, 4, 2):
-        if n_blocks % d == 0:
-            n_chunks = d
-            break
+    if n >= 16384:
+        for d in (8, 4, 2):
+            if n_blocks % d == 0:
+                n_chunks = d
+                break
     chunk_cols = n // n_chunks
 
     def chol_step(k, a_loc):
