@@ -685,10 +685,25 @@ def spd_inverse_logdet_cyclic(v, mesh: Mesh, axis: str = "i", block: int = 256):
     memory is ~1 resident (N^2/D) working buffer per device beyond the
     inputs (XLA keeps separate stage outputs alive otherwise — measured
     3x) — the difference between fitting and OOMing a 100k x 8-chip
-    v5e REML iteration.  Trace-time host work only depends on static
-    shapes, so this is safe inside jit."""
+    v5e REML iteration.  Below HBM-relevant sizes the memory economy
+    is irrelevant and the fused kernel's thin per-step ops lose to one
+    big triangular solve + syrk (measured 2-3x at n=4096), so small
+    operands take the solve-identity form.  Trace-time host work only
+    depends on static shapes, so this is safe inside jit."""
     n = v.shape[0]
     G = _pick_interleave(n, mesh.shape[axis], block)
+    if n < 16384:
+        l, logdet = distributed_cholesky(v, mesh, axis, block, interleave=G)
+        eye = jax.lax.with_sharding_constraint(
+            jnp.eye(n, dtype=v.dtype), NamedSharding(mesh, P(axis, None))
+        )
+        w = distributed_triangular_solve(
+            l, eye, mesh, axis, block, interleave=G
+        )
+        vi = jax.lax.with_sharding_constraint(
+            w.T @ w, NamedSharding(mesh, P(axis, None))
+        )
+        return vi, logdet
     return distributed_spd_inverse_fused(v, mesh, axis, block, interleave=G)
 
 
