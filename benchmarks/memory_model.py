@@ -134,6 +134,7 @@ def _analyze_worker(n: int, n_devices: int, use_f64: bool, axon: bool = False):
 
 def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int):
     _force_cpu()
+    import os
     import resource
     import time
 
@@ -165,7 +166,8 @@ def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int):
     model = build_variance_model(
         [k], ["GRM"], [float(np.var(y, ddof=1))], [0.5]
     )
-    opts = REMLOptions(max_iterations=max_iter, float64_refine=True,
+    refine = os.environ.get("MEMMODEL_NO_REFINE", "") != "1"
+    opts = REMLOptions(max_iterations=max_iter, float64_refine=refine,
                       float64_refine_max_n=n + 1)
     eng = DistributedREMLEngine(model, y, x, mesh, opts)
     res = eng.fit()
