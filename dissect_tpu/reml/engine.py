@@ -590,15 +590,15 @@ class REMLEngine:
                     rel = np.abs((new_theta - theta) / np.where(theta == 0, 1, theta))
                 ll_diff = log_likelihood - prev_ll
                 theta = new_theta
+                self.log.message(
+                    f"  f64  logL {log_likelihood:.6f}  "
+                    + " ".join(f"{t:.6g}" for t in theta)
+                )
                 if bool(np.all(rel <= var_threshold)) and (
                     -1e-2 < ll_diff < 1e-4 or prev_ll == -np.inf
                 ):
                     converged = True
                     break
-            self.log.message(
-                f"  f64  logL {log_likelihood:.6f}  "
-                + " ".join(f"{t:.6g}" for t in theta)
-            )
         q_np = {
             key: np.asarray(val, dtype=np.float64)
             for key, val in q.items()
