@@ -50,6 +50,21 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+def _stats(ts, latency=0.0):
+    """Per-metric trial record {trials, min, median, spread}: the chip
+    tunnel swings identical code 2-8x between runs (round-4 VERDICT
+    weak #5), so every reported number carries its own spread."""
+    corr = sorted(max(t - latency, 1e-9) for t in ts)
+    mn = corr[0]
+    md = corr[len(corr) // 2]
+    return {
+        "trials": len(corr),
+        "min": round(mn, 5),
+        "median": round(md, 5),
+        "spread": round((corr[-1] - mn) / mn, 3),
+    }
+
+
 def _secondary_metrics(latency: float, deadline: float, details=None):
     """One dense AI-REML quantities step (n=4096) + exact ML-refit GWAS
     throughput (reml.cpp:2286-2498 / gwas.cpp:787-914 analogs).
@@ -101,6 +116,7 @@ def _secondary_metrics(latency: float, deadline: float, details=None):
             ts.append(time.perf_counter() - t0)
         snps_per_sec = round(m / max(min(ts) - latency, 1e-9))
         details["mlm_ml_refit_snps_per_sec_n4096"] = snps_per_sec
+        details["mlm_ml_refit_stats_s"] = _stats(ts, latency)
 
     reml_ms = None
     if time.time() < deadline - 60:
@@ -125,6 +141,9 @@ def _secondary_metrics(latency: float, deadline: float, details=None):
             ts.append(time.perf_counter() - t0)
         reml_ms = round(max(min(ts) - latency, 0.0) / reps * 1e3, 2)
         details["reml_dense_iteration_ms_n4096"] = reml_ms
+        details["reml_dense_iteration_stats_s"] = _stats(
+            [t / reps for t in ts], latency / reps
+        )
     return reml_ms, snps_per_sec
 
 
@@ -181,6 +200,7 @@ def _gwas_e2e_1m(latency: float, deadline: float, out):
     dt = max(time.perf_counter() - t0 - latency, 1e-9)
     out["gwas_e2e_1m_seconds"] = round(dt, 2)
     out["gwas_e2e_1m_snps_per_sec"] = round(n_chunks * chunk / dt)
+    out["gwas_e2e_1m_stats_s"] = _stats([dt])  # single pass: trials=1
 
     if time.time() < deadline - 30:
         # one REAL host->device upload of a 256 MB int8 chunk: the
@@ -216,17 +236,19 @@ def _linalg_extras(latency: float, deadline: float, out=None):
     mesh = Mesh(np.array(jax.devices()[:1]), ("i",))
     spd_dev = jnp.asarray(spd)
 
-    def timed(fn):
+    def timed(fn, key):
         """fn must END IN A SCALAR: through the remote tunnel a float()
         fetch is the only reliable completion barrier
-        (block_until_ready can return before remote execution ends)."""
+        (block_until_ready can return before remote execution ends).
+        Writes <key> (min ms) and <key>_stats into `out`."""
         float(fn(spd_dev))  # compile
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
             float(fn(spd_dev + 1e-6 * i))  # new value: defeat caching
             ts.append(time.perf_counter() - t0)
-        return max(min(ts) - latency, 1e-9)
+        out[key] = round(max(min(ts) - latency, 1e-9) * 1e3, 2)
+        out[key + "_stats_s"] = _stats(ts, latency)
 
     if time.time() < deadline - 60:
         from dissect_tpu.linalg.distributed import spd_inverse_logdet_cyclic
@@ -236,7 +258,7 @@ def _linalg_extras(latency: float, deadline: float, out=None):
                 spd_inverse_logdet_cyclic(m, mesh=mesh, block=512)[0]
             )
         )
-        out["cyclic_spd_inverse_ms_n4096"] = round(timed(cyc) * 1e3, 2)
+        timed(cyc, "cyclic_spd_inverse_ms_n4096")
 
         def xla_inv(m):
             l = jnp.linalg.cholesky(m)
@@ -245,9 +267,7 @@ def _linalg_extras(latency: float, deadline: float, out=None):
             )
             return jnp.sum(li.T @ li)
 
-        out["xla_spd_inverse_ms_n4096"] = round(
-            timed(jax.jit(xla_inv)) * 1e3, 2
-        )
+        timed(jax.jit(xla_inv), "xla_spd_inverse_ms_n4096")
 
     if time.time() < deadline - 120:
         from dissect_tpu.linalg.dc_eigen import distributed_eigh
@@ -256,9 +276,10 @@ def _linalg_extras(latency: float, deadline: float, out=None):
             w, _ = distributed_eigh(m, mesh=mesh, allow_local_fallback=True)
             return jnp.sum(w)
 
-        out["qdwh_dc_eigh_ms_n4096"] = round(timed(qdwh) * 1e3, 2)
-        out["xla_eigh_ms_n4096"] = round(
-            timed(jax.jit(lambda m: jnp.sum(jnp.linalg.eigh(m)[0]))) * 1e3, 2
+        timed(qdwh, "qdwh_dc_eigh_ms_n4096")
+        timed(
+            jax.jit(lambda m: jnp.sum(jnp.linalg.eigh(m)[0])),
+            "xla_eigh_ms_n4096",
         )
     return out
 
@@ -280,10 +301,13 @@ def _checkpoint(payload):
     compile service zeroed the whole round's record) cannot erase
     metrics that were already measured — the sidecar holds them."""
     try:
-        tmp = "BENCH_partial.json.tmp"
+        # untracked sidecar (round-4 VERDICT weak #7: a tracked partial
+        # left the tree dirty after every bench run)
+        os.makedirs(".bench_tmp", exist_ok=True)
+        tmp = ".bench_tmp/BENCH_partial.json.tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
-        os.replace(tmp, "BENCH_partial.json")
+        os.replace(tmp, ".bench_tmp/BENCH_partial.json")
     except OSError:
         pass
 
@@ -500,6 +524,7 @@ def _pallas_headline(latency, best, progress):
         "n_individuals": n,
         "snps_processed": reps * k_chunks * chunk,
         "seconds": round(dt, 4),
+        "grm_stats_s": _stats(times, latency),
         "latency_correction_s": round(latency, 4),
         "latency_correction_frac": round(latency / (dt + latency), 4),
         "policy": "fused pallas int8->bf16 standardize + "

@@ -205,14 +205,24 @@ def config3(outdir):
 
 
 def config4(outdir):
-    """Bivariate REML, 10k individuals."""
+    """Bivariate REML, 10k individuals.  Cohort, GRM and per-iteration
+    REML checkpoints are reused across invocations so the multi-hour
+    f64 endgame can resume across harness windows (--checkpoint +
+    runtime/checkpoint.py)."""
     n, m = 10000, 20000
-    bfile, pheno = make_cohort(outdir, n, m, seed=4, prefix="c4cohort",
-                               n_traits=2)
-    t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
-                     str(outdir / "c4")], outdir)
+    bfile = str(outdir / "c4cohort")
+    pheno = str(outdir / "c4cohort.pheno.txt")
+    if not (pathlib.Path(bfile + ".bed").exists()
+            and pathlib.Path(pheno).exists()):
+        bfile, pheno = make_cohort(outdir, n, m, seed=4, prefix="c4cohort",
+                                   n_traits=2)
+    t_grm = 0.0
+    if not (outdir / "c4.grm.dat").exists():
+        t_grm = run_cli(["--make-grm", "--bfile", bfile, "--out",
+                         str(outdir / "c4")], outdir)
     t = run_cli(["--bivar-reml", "--grm", str(outdir / "c4"), "--pheno",
                  pheno, "--pheno-cols", "1,2",
+                 "--checkpoint", str(outdir / "c4.reml.ckpt"),
                  "--out", str(outdir / "c4")], outdir)
     rg = None
     corr = outdir / "c4.correlations"

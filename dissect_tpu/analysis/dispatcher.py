@@ -779,7 +779,16 @@ class Analysis:
             mesh=ctx.flat if ctx else None,
             distributed_block=a.default_block_size,
         )
-        out = driver.compute(initial_h2s=a.initial_h2s)
+        initial_variances = None
+        if a.initial_variances:
+            from dissect_tpu.runtime.checkpoint import read_initial_variances
+
+            initial_variances = read_initial_variances(a.initial_variances)
+        out = driver.compute(
+            initial_h2s=a.initial_h2s,
+            initial_variances=initial_variances,
+            checkpoint_path=a.checkpoint,
+        )
         write_reml_summary(a.out, driver.model, out.result, use_ml=a.use_ml)
         with result_open(a.out + ".correlations") as fh:
             fh.write("NAME VALUE SE\n")

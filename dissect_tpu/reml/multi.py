@@ -153,6 +153,8 @@ class MultiREML:
         compute_blue: bool = True,
         weights: Optional[Sequence[float]] = None,
         initial_h2s: Optional[Sequence[float]] = None,
+        initial_variances: Optional[dict] = None,
+        checkpoint_path: Optional[str] = None,
     ) -> MultiREMLOutput:
         pheno_vars = [
             initial_residual_variance(y, x) for y, x in zip(self.ys, self.xs)
@@ -220,6 +222,16 @@ class MultiREML:
                 weights=weights,
                 use_correlations=self.use_correlations,
             )
+        if initial_variances is not None:
+            # --initial-variances seeding by name — the multi-trait
+            # analog of singlereml's restart-from-artifact boundary
+            # (setVarianceInitialValuesFromFile, covariancematrix.cpp:1689)
+            theta0 = model.initial_theta()
+            vnames = model.variance_names()
+            for nm, val in initial_variances.items():
+                if nm in vnames:
+                    theta0[vnames.index(nm)] = val
+            initial_theta = theta0
         if self.mesh is not None:
             from dissect_tpu.reml.distributed_engine import DistributedREMLEngine
 
@@ -229,7 +241,7 @@ class MultiREML:
             )
         else:
             engine = REMLEngine(model, self.y, self.x, self.options)
-        result = engine.fit(initial_theta)
+        result = engine.fit(initial_theta, checkpoint_path=checkpoint_path)
 
         theta = result.variances
         rows = [
