@@ -52,7 +52,10 @@ def _force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-def _analyze_worker(n: int, n_devices: int, use_f64: bool, axon: bool = False):
+def _analyze_worker(
+    n: int, n_devices: int, use_f64: bool, axon: bool = False,
+    bivar: bool = False,
+):
     """axon=True: keep the TPU tunnel backend and let the v5e AOT
     compiler report ITS buffer assignment (single chip) — the
     authoritative accounting for the HBM-fit claim; CPU-mesh numbers
@@ -83,21 +86,42 @@ def _analyze_worker(n: int, n_devices: int, use_f64: bool, axon: bool = False):
     def st(shape, sharding):
         return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 
-    # single-trait model: one dense GRM + the identity E (stored as a
-    # vector — the engine's diagonal-element special-casing)
-    sc = ShardedCovariance(
-        trait_sizes=(n_pad,),
-        blocks=((0, 0), (0, 0)),
-        is_diag=(False, True),
-        element_matrices=(st((n_pad, n_pad), row), st((n_pad,), rep)),
-        powers=st((2, 2), rep),
-        factors=st((2,), rep),
-    )
+    if bivar:
+        # uniform bivariate model (multireml.cpp:57-137, reml.cpp:750-780):
+        # ONE n/2 x n/2 GRM shared by the (0,0)/(0,1)/(1,1) blocks — a
+        # single deduplicated argument buffer (Tn^2/4 resident, not
+        # 3 Tn^2/4) — plus per-trait identity E and the cross-trait
+        # environmental indicator, all stored as diagonal vectors
+        h = n // 2 + (-(n // 2)) % quantum
+        n_pad = 2 * h
+        g = st((h, h), row)
+        sc = ShardedCovariance.from_elements(
+            trait_sizes=(h, h),
+            blocks=((0, 0), (0, 1), (1, 1), (0, 0), (1, 1), (0, 1)),
+            is_diag=(False, False, False, True, True, True),
+            element_matrices=(g, g, g, st((h,), rep), st((h,), rep),
+                              st((h,), rep)),
+            powers=st((6, 6), rep),
+            factors=st((6,), rep),
+        )
+        k_params, c_cols = 6, 2
+    else:
+        # single-trait model: one dense GRM + the identity E (stored as
+        # a vector — the engine's diagonal-element special-casing)
+        sc = ShardedCovariance.from_elements(
+            trait_sizes=(n_pad,),
+            blocks=((0, 0), (0, 0)),
+            is_diag=(False, True),
+            element_matrices=(st((n_pad, n_pad), row), st((n_pad,), rep)),
+            powers=st((2, 2), rep),
+            factors=st((2,), rep),
+        )
+        k_params, c_cols = 2, 1
     args = (
         sc,
-        st((2,), rep),          # theta
+        st((k_params,), rep),   # theta
         st((n_pad,), rep),      # y
-        st((n_pad, 1), rep),    # x
+        st((n_pad, c_cols), rep),  # x
         st((n_pad,), rep),      # pad_diag
     )
     lowered = _distributed_dense_quantities.lower(
@@ -107,6 +131,7 @@ def _analyze_worker(n: int, n_devices: int, use_f64: bool, axon: bool = False):
     ma = compiled.memory_analysis()
     out = {
         "what": "distributed_quantities",
+        "model": "bivariate" if bivar else "single_trait",
         "n": n,
         "n_pad": n_pad,
         "devices": n_devices,
@@ -132,7 +157,8 @@ def _analyze_worker(n: int, n_devices: int, use_f64: bool, axon: bool = False):
     print(json.dumps(out), flush=True)
 
 
-def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int):
+def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int,
+                checkpoint: str = ""):
     _force_cpu()
     import os
     import resource
@@ -170,7 +196,11 @@ def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int):
     opts = REMLOptions(max_iterations=max_iter, float64_refine=refine,
                       float64_refine_max_n=n + 1)
     eng = DistributedREMLEngine(model, y, x, mesh, opts)
-    res = eng.fit()
+    # --checkpoint: per-iteration REMLCheckpoint (runtime/checkpoint.py)
+    # so a watchdog-killed long window RESUMES from its last Newton step
+    # instead of restarting (the data above is deterministic from seed
+    # 0, so a resumed process sees the identical problem)
+    res = eng.fit(checkpoint_path=checkpoint or None)
     fit_s = time.time() - t0
     vg, ve = res.variances[0], res.variances[1]
 
@@ -211,17 +241,28 @@ def main():
     ap.add_argument("--n", default="16384")
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--bivar", action="store_true",
+                    help="analyze the uniform bivariate program (n = Tn "
+                    "total rows over two traits, one shared GRM)")
     ap.add_argument("--axon", action="store_true",
                     help="analyze on the TPU tunnel backend (1 chip)")
     ap.add_argument("--max-iter", type=int, default=25)
     ap.add_argument("--pca-k", type=int, default=16)
+    ap.add_argument("--checkpoint", default="",
+                    help="run: REML checkpoint file for resume across "
+                    "watchdog windows")
     args = ap.parse_args()
 
     if args.cmd == "_analyze_worker":
-        _analyze_worker(int(args.n), args.devices, args.f64, args.axon)
+        _analyze_worker(
+            int(args.n), args.devices, args.f64, args.axon, args.bivar
+        )
         return
     if args.cmd == "_run_worker":
-        _run_worker(int(args.n), args.devices, args.max_iter, args.pca_k)
+        _run_worker(
+            int(args.n), args.devices, args.max_iter, args.pca_k,
+            args.checkpoint,
+        )
         return
 
     env = dict(os.environ)
@@ -237,9 +278,12 @@ def main():
             f"_{args.cmd}_worker", "--n", n, "--devices",
             str(1 if args.axon else args.devices),
             "--max-iter", str(args.max_iter), "--pca-k", str(args.pca_k),
+            "--checkpoint", args.checkpoint,
         ]
         if args.f64:
             cmd.append("--f64")
+        if args.bivar:
+            cmd.append("--bivar")
         if args.axon:
             cmd.append("--axon")
         subprocess.run(cmd, env=env, check=True)

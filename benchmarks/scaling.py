@@ -111,6 +111,38 @@ def _worker(n_devices: int, n: int):
         ts.append(time.perf_counter() - t0)
     results["cyclic_spd_inverse"] = min(ts)
 
+    # ---- 4. D&C eigensolver with the SHARDED sign-iteration branch
+    # forced (dc_eigen.py m > batch_threshold path — the branch that
+    # exists for beyond-one-device N, matrix.cpp:3327-3380), plus the
+    # one-device XLA eigh anchor (strong: fixed n)
+    from dissect_tpu.linalg.dc_eigen import distributed_eigh
+
+    forced = max(n // 4, 256)
+
+    def dce(m):
+        w, _ = distributed_eigh(
+            m, mesh=flat, base_size=forced, batch_threshold=forced,
+            allow_local_fallback=True,
+        )
+        return float(jnp.sum(w))
+
+    dce(spd)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        dce(spd + 1e-6 * i)
+        ts.append(time.perf_counter() - t0)
+    results["dc_eigh_sharded_branch"] = min(ts)
+
+    xla_eigh = jax.jit(lambda m: jnp.sum(jnp.linalg.eigh(m)[0]))
+    float(xla_eigh(spd))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(xla_eigh(spd + 1e-6 * i))
+        ts.append(time.perf_counter() - t0)
+    results["xla_eigh_one_device"] = min(ts)
+
     print("SCALING_RESULT " + json.dumps(results), flush=True)
 
 

@@ -68,6 +68,27 @@ def global_sharded_array(
     )
 
 
+def put_replicated_host_data(arr: np.ndarray, sharding) -> jax.Array:
+    """Place host data every process already holds onto a (possibly
+    multi-host) sharding WITHOUT a collective.
+
+    Multi-process `jax.device_put` to a non-fully-addressable sharding
+    runs a cross-process equality check (an allgather) — and the very
+    first such collective triggers the CPU backend's Gloo context
+    rendezvous, whose hard 30 s key-value timeout any compile-skewed
+    worker can blow on a loaded box.  Model state (kernels, y, X) is
+    loaded identically by every process (the single-controller
+    discipline, misc.cpp:203), so each process can just materialize its
+    addressable shards via make_array_from_callback — no rendezvous,
+    no data movement."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def is_root() -> bool:
     """True on the process that writes result files (the reference's
     root-only Message discipline, message.h:65-83)."""

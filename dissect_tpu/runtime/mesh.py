@@ -32,6 +32,29 @@ def _near_square_factors(n: int) -> tuple[int, int]:
     return rows, n // rows
 
 
+_COLLECTIVES_WARMED = False
+
+
+def _warm_collectives() -> None:
+    """One startup barrier per multi-process run (the BLACS-grid-init
+    barrier analog, communicator.cpp:279-282).
+
+    The CPU backend's Gloo collectives rendezvous through the
+    coordination KV store with a hard ~30 s timeout; if the FIRST
+    collective happens deep inside an analysis, workers arrive skewed
+    by their own compiles and a loaded box blows the deadline.  Forcing
+    one trivial all-device collective here — while process skew is
+    interpreter-startup seconds — creates the global Gloo context once,
+    up front."""
+    global _COLLECTIVES_WARMED
+    if _COLLECTIVES_WARMED or jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("dissect_tpu_mesh_startup")
+    _COLLECTIVES_WARMED = True
+
+
 @dataclasses.dataclass
 class MeshContext:
     """A 2D device mesh plus canonical sharding helpers.
@@ -58,6 +81,7 @@ class MeshContext:
         if shape[0] * shape[1] != n:
             raise ValueError(f"mesh shape {shape} != device count {n}")
         dev_grid = np.asarray(devices).reshape(shape)
+        _warm_collectives()
         return MeshContext(mesh=Mesh(dev_grid, ("i", "j")))
 
     # --- canonical shardings -------------------------------------------------

@@ -57,7 +57,7 @@ def _gwas_table(path):
     return rows
 
 
-def _run_workers(nprocs, devs, bfile, tmp_path, prefix):
+def _run_workers_once(nprocs, devs, bfile, tmp_path, prefix, timeout):
     coordinator = f"localhost:{_free_port()}"
     env = {
         k: v
@@ -78,7 +78,7 @@ def _run_workers(nprocs, devs, bfile, tmp_path, prefix):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -87,6 +87,19 @@ def _run_workers(nprocs, devs, bfile, tmp_path, prefix):
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"WORKER_{i}_OK" in out
+
+
+def _run_workers(nprocs, devs, bfile, tmp_path, prefix):
+    """N coordinated workers on a 2-core box: under full-suite load the
+    fleet can blow any fixed deadline (a distributed barrier stalls as
+    long as the slowest worker's compile), so give it a long deadline
+    and one clean retry on a fresh coordinator port — machine load is
+    the only nondeterminism here; the workers themselves are
+    deterministic."""
+    try:
+        _run_workers_once(nprocs, devs, bfile, tmp_path, prefix, 1500)
+    except (subprocess.TimeoutExpired, AssertionError):
+        _run_workers_once(nprocs, devs, bfile, tmp_path, prefix, 1800)
 
 
 @pytest.mark.parametrize("nprocs,devs", [(2, 4), (4, 2)])
