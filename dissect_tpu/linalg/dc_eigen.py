@@ -341,6 +341,21 @@ def _batched_split(a_sub, probes, coeffs_arr, ns_iters):
         return jax.vmap(one)(sigmas)
 
 
+def _base_eigh(a_sub):
+    """Base-case leaf eigh of the D&C recursion (eager call site).
+
+    Routed through linalg.eigen.eigh_full: accelerator eigh programs at
+    leaf sizes (512-2048) serialize to hundreds of MB EACH, and uneven
+    spectral splits give every leaf a distinct shape — a fresh giant
+    compile (or a giant cache-entry load through a remote runtime) per
+    leaf.  Host LAPACK at these sizes is faster end-to-end; the knob
+    DISSECT_TPU_HOST_EIGH_MAX restores the device leaves on hardware
+    where executable loads are local."""
+    from dissect_tpu.linalg.eigen import eigh_full
+
+    return eigh_full(a_sub)
+
+
 def distributed_eigh(
     a,
     mesh: Optional[Mesh] = None,
@@ -380,7 +395,7 @@ def distributed_eigh(
     def local_or_raise(a_sub, depth, reason):
         m = a_sub.shape[0]
         if mesh is None or allow_local_fallback:
-            return jnp.linalg.eigh(a_sub)
+            return _base_eigh(a_sub)
         raise RuntimeError(
             f"distributed_eigh: no valid spectral split for a {m} x {m} "
             f"subproblem at depth {depth} ({reason}); a local eigh at "
@@ -391,7 +406,7 @@ def distributed_eigh(
     def rec(a_sub, depth):
         m = a_sub.shape[0]
         if m <= base_size:
-            return jnp.linalg.eigh(a_sub)
+            return _base_eigh(a_sub)
         if depth >= max_depth:
             return local_or_raise(a_sub, depth, "max recursion depth")
         a_sub = constrain(a_sub)

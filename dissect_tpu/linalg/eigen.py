@@ -14,6 +14,7 @@ callers that need the reference's ordering handle it explicitly.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,9 +22,46 @@ import jax.numpy as jnp
 
 
 @jax.jit
-def eigh_full(a):
-    """Eigenvalues (ascending) + eigenvectors of a symmetric matrix."""
+def _eigh_full_device(a):
     return jnp.linalg.eigh(a)
+
+
+def _host_eigh_preferred(n: int) -> bool:
+    """True when the one-off dense eigh should run on HOST LAPACK.
+
+    XLA's accelerator eigh is a trace-time-unrolled spectral D&C whose
+    serialized executables grow super-linearly (measured v5e: 0.5 MB at
+    n=256, 79 MB at n=512, 254 MB at n=1024, 359 MB at n=2048):
+    compiling takes minutes, and even a persistent-cache HIT must push
+    hundreds of MB into the runtime — the round-4 "warm-cache MLM GWAS
+    still compiles 62 s" was exactly these loads.  For the one-off
+    diagonalizations (kernel diagonalize, GWAS covariance rotation,
+    PCA) at host-manageable sizes, LAPACK dsyevd wins end-to-end.
+    Above `DISSECT_TPU_HOST_EIGH_MAX` (default 8192) the device solve
+    — or the distributed D&C on a mesh — takes over."""
+    if jax.default_backend() == "cpu":
+        return False  # CPU jit eigh IS host LAPACK
+    try:
+        cap = int(os.environ.get("DISSECT_TPU_HOST_EIGH_MAX", "") or 8192)
+    except ValueError:
+        cap = 8192
+    return 256 < n <= cap
+
+
+def eigh_full(a):
+    """Eigenvalues (ascending) + eigenvectors of a symmetric matrix.
+
+    Backend-aware (see _host_eigh_preferred): giant-program accelerator
+    eighs at host-manageable sizes run on host LAPACK in float64 and
+    come back in the input dtype."""
+    n = a.shape[0]
+    if not isinstance(a, jax.core.Tracer) and _host_eigh_preferred(n):
+        import numpy as np
+
+        w, v = np.linalg.eigh(np.asarray(a, dtype=np.float64))
+        dtype = getattr(a, "dtype", jnp.float64)
+        return jnp.asarray(w, dtype=dtype), jnp.asarray(v, dtype=dtype)
+    return _eigh_full_device(a)
 
 
 @partial(jax.jit, static_argnames=("k", "n_iter", "seed"))

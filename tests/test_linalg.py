@@ -246,3 +246,31 @@ def test_spd_inverse_auto_big_path(monkeypatch):
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(float(logdet),
                                np.linalg.slogdet(v)[1], rtol=1e-10)
+
+
+def test_eigh_full_host_routing(monkeypatch):
+    """On accelerator backends, host-manageable one-off eighs run on
+    host LAPACK (XLA's unrolled accelerator eigh serializes to hundreds
+    of MB per shape); the CPU backend and out-of-range sizes keep the
+    jitted device path.  Results are identical either way."""
+    import jax
+
+    from dissect_tpu.linalg import eigen
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(300, 300))
+    s = (a + a.T) / 2
+
+    w_dev, v_dev = eigen.eigh_full(jnp.asarray(s))  # CPU backend path
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert eigen._host_eigh_preferred(300) is True
+    assert eigen._host_eigh_preferred(256) is False   # small: device
+    assert eigen._host_eigh_preferred(9000) is False  # beyond cap
+    monkeypatch.setenv("DISSECT_TPU_HOST_EIGH_MAX", "16384")
+    assert eigen._host_eigh_preferred(9000) is True   # env-raised cap
+    w_host, v_host = eigen.eigh_full(np.asarray(s))
+    np.testing.assert_allclose(np.asarray(w_host), np.asarray(w_dev),
+                               rtol=1e-6, atol=1e-9)
+    # eigenvectors agree up to sign
+    dots = np.abs(np.sum(np.asarray(v_host) * np.asarray(v_dev), axis=0))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-6)
