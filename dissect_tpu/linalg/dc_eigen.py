@@ -103,7 +103,12 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
     prec = jax.default_matmul_precision("highest")
 
     def spd_solve(z, rhs):
-        if spec is None:
+        # XLA's fused cholesky + full-square-RHS triangular solves blow
+        # up at compile beyond ~8k rows (measured v5e at n=16384: 33.5 GB
+        # of dynamic-update-slice temps, an HBM compile rejection), so
+        # big ONE-DEVICE solves also take the single-carry blocked
+        # cyclic kernel; below that the fused solve is faster.
+        if spec is None and (mesh is None or n < 8192):
             chol = jnp.linalg.cholesky(z)
             y = jax.lax.linalg.triangular_solve(
                 chol, rhs, left_side=True, lower=True
@@ -202,13 +207,45 @@ def _cholqr2(y, spec=None):
         return _cholqr2_body(y, spec)
 
 
+def _tri_solve_right(r, y):
+    """y @ r^{-T} (r lower) with the ROWS of y chunked.
+
+    XLA's blocked triangular solve materializes several full-RHS temps
+    per level: at a 16384 x 9436 basis that is ~0.6 GB apiece and the
+    whole _split_apply program compiles to 21.6 GB — an HBM rejection
+    (measured v5e, round 5).  Rows of a right-side solve are
+    independent, so chunking them caps the temps at chunk size with no
+    extra flops."""
+    m = y.shape[0]
+    if m <= 8192:
+        return jax.lax.linalg.triangular_solve(
+            r, y, left_side=False, lower=True, transpose_a=True
+        )
+    n_chunks = -(-m // 4096)
+    pad = n_chunks * 4096 - m
+    y_pad = jnp.pad(y, ((0, pad), (0, 0)))
+
+    def body(i, out):
+        i0 = (i * 4096).astype(jnp.int32)
+        blk = jax.lax.dynamic_slice(
+            y_pad, (i0, jnp.int32(0)), (4096, y.shape[1])
+        )
+        solved = jax.lax.linalg.triangular_solve(
+            r, blk, left_side=False, lower=True, transpose_a=True
+        )
+        return jax.lax.dynamic_update_slice(out, solved, (i0, jnp.int32(0)))
+
+    out = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros_like(y_pad)
+    )
+    return out[:m]
+
+
 def _cholqr2_body(y, spec):
     for _ in range(2):
         gram = y.T @ y
         r = jnp.linalg.cholesky(gram)
-        y = jax.lax.linalg.triangular_solve(
-            r, y, left_side=False, lower=True, transpose_a=True
-        )
+        y = _tri_solve_right(r, y)
         if spec is not None:
             y = jax.lax.with_sharding_constraint(y, spec)
     return y
@@ -242,12 +279,13 @@ def _split_apply(a_sub, u, seed, k, spec=None):
     fetches once."""
     m = a_sub.shape[0]
     with jax.default_matmul_precision("highest"):
-        eye = jnp.eye(m, dtype=a_sub.dtype)
         key1, key2 = jax.random.split(jax.random.PRNGKey(seed))
         g1 = jax.random.normal(key1, (m, k), dtype=a_sub.dtype)
         g2 = jax.random.normal(key2, (m, m - k), dtype=a_sub.dtype)
-        y1 = (0.5 * (eye - u)) @ g1
-        y2 = (0.5 * (eye + u)) @ g2
+        # apply the projectors to the probes directly — materializing
+        # 0.5 (I +- U) is an extra m^2 buffer for the same flops
+        y1 = 0.5 * (g1 - u @ g1)
+        y2 = 0.5 * (g2 + u @ g2)
         if spec is not None:
             y1 = jax.lax.with_sharding_constraint(y1, spec)
             y2 = jax.lax.with_sharding_constraint(y2, spec)
