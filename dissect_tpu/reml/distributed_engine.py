@@ -479,22 +479,29 @@ def _pick_chunks(n: int, max_chunk: int) -> int:
 
 def _tr_prod_f64(a, b, max_chunk: int = 2048):
     """f64 sum(A * B) in row chunks: avoids the full N^2 elementwise
-    temp, einsum's dot_general lowering (whose f64 operand split is an
-    [8, M, K] temp), AND full-operand f32->f64 conversions — chunks
-    are cast after an optimization barrier."""
+    temp and full-operand f32->f64 conversions — chunks are cast after
+    an optimization barrier.  The loop is a STATIC Python unroll, not
+    a fori_loop: XLA's while lowering copies every captured invariant
+    operand into the loop state (measured: one full extra plane per
+    big operand per loop level on v5e), which at a 20k-row bivariate
+    is 6.7 GB of pure waste.  The accumulator is threaded through the
+    barrier so the scheduler cannot run all chunks' f64 elementwise
+    temps concurrently."""
     f64 = jnp.float64
     n = a.shape[0]
     ck = _pick_chunks(n, max_chunk)
     rc = n // ck
-
-    def body(k, acc):
-        k0 = (k * rc).astype(jnp.int32)
-        ab = jax.lax.dynamic_slice(a, (k0, jnp.int32(0)), (rc, a.shape[1]))
-        bb = jax.lax.dynamic_slice(b, (k0, jnp.int32(0)), (rc, b.shape[1]))
+    acc = jnp.zeros((), f64)
+    for k in range(ck):
+        # data-dependent slice start: a plain barrier still lets the
+        # scheduler materialize every chunk's temps concurrently
+        dep = _dep_i32(acc)
+        k0 = jnp.int32(k * rc) + dep
+        ab = jax.lax.dynamic_slice(a, (k0, dep), (rc, a.shape[1]))
+        bb = jax.lax.dynamic_slice(b, (k0, dep), (rc, b.shape[1]))
         ab, bb = jax.lax.optimization_barrier((ab, bb))
-        return acc + jnp.sum(ab.astype(f64) * bb.astype(f64))
-
-    return jax.lax.fori_loop(0, ck, body, jnp.zeros((), f64))
+        acc = acc + jnp.sum(ab.astype(f64) * bb.astype(f64))
+    return acc
 
 
 def _is_big(a) -> bool:
@@ -509,53 +516,84 @@ def _tr_prod(a, b):
     return _tr_prod_f64(a, b)
 
 
-def _mm_f64_chunked(a, b, row_spec, max_chunk: int = 2048):
-    """a @ b for large f64 operands, blocked over output columns AND
-    the contraction dimension.
+# Measured on the v5e AOT compiler (round 5): XLA emulates an f64 dot
+# by splitting EACH operand into ~17 materialized f32 copies (temps
+# fit ~17*(M*K + K*N)*4 B across shapes), and its simplifier hoists
+# slice-of-split into one full-matrix split whenever a big f64 array
+# feeds chunked dots — optimization barriers do not stop it.  XLA's
+# while lowering additionally copies every captured big invariant into
+# the loop state (one full extra plane per operand per loop level).
+# The design that actually bounds HBM is therefore: NO big f64 array
+# ever exists on an accelerator.  Big "f64" matrices are stored as
+# hi/lo f32 PAIRS (double-float: hi = f32(x), lo = f32(x - hi),
+# ~49-bit effective mantissa), f64 arithmetic happens only on
+# chunk-sized operands cast on the fly, chunk loops are statically
+# unrolled inside host-called jits, and chunks are sequenced by
+# data-dependent slice starts (a plain barrier still lets the
+# scheduler materialize every chunk's emulation temps concurrently).
+_F64_EMU_TEMP_BYTES = 68  # ~17 f32 copies per operand element
 
-    XLA's v5e f64 dot emulation splits each OPERAND into ~4 f32
-    components materialized as [4, M, K] temps — 6.25 GB per operand
-    for one 20k x 20k product, the compile-time OOM that killed the
-    first bivariate 10k endgame.  Output-column chunking alone does
-    not help (the split scales with the operand, not the output), so
-    the contraction is blocked too: every dot sees (M, kc) x (kc, cc)
-    slices whose split temps are chunk-sized, and the partial products
-    accumulate in f64 (elementwise f64 is cheap)."""
-    n = b.shape[1]
-    kk = a.shape[1]
-    cj = _pick_chunks(n, max_chunk)
-    ck = _pick_chunks(kk, max_chunk)
-    if cj * ck <= 1:
-        out = a.astype(jnp.float64) @ b.astype(jnp.float64)
-        if row_spec is not None:
-            out = jax.lax.with_sharding_constraint(out, row_spec)
-        return out
-    cc = n // cj
-    kc = kk // ck
 
-    def body(idx, out):
-        j = (idx // ck).astype(jnp.int32)
-        k = (idx % ck).astype(jnp.int32)
-        a_blk = jax.lax.dynamic_slice(
-            a, (jnp.int32(0), k * kc), (a.shape[0], kc)
-        )
-        b_blk = jax.lax.dynamic_slice(b, (k * kc, j * cc), (kc, cc))
-        # the barrier pins the f64->f32-components conversion to the
-        # SLICES: without it XLA rewrites convert(slice(x)) as
-        # slice(convert(x)) and hoists a whole [4, N, N] split out of
-        # the loop — the allocation this blocking exists to avoid
-        a_blk, b_blk = jax.lax.optimization_barrier((a_blk, b_blk))
-        part = a_blk.astype(jnp.float64) @ b_blk.astype(jnp.float64)
-        out_blk = jax.lax.dynamic_slice(
-            out, (jnp.int32(0), j * cc), (a.shape[0], cc)
-        )
-        return jax.lax.dynamic_update_slice(
-            out, out_blk + part, (jnp.int32(0), j * cc)
-        )
+def _dep_i32(x):
+    """A data-dependent zero index: adding it to a slice start forces
+    the scheduler to order the slice (and the emulation temps of the
+    dot that consumes it) after `x` is available."""
+    return jax.lax.convert_element_type(x.ravel()[0] * 0, jnp.int32)
 
-    out = jax.lax.fori_loop(
-        0, cj * ck, body, jnp.zeros((a.shape[0], n), jnp.float64)
-    )
+
+def _split_f64(x64):
+    """f64 block -> (hi, lo) f32 double-float pair (exact: lo is the
+    representable residual)."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _pair_dot(a_hi, a_lo, b, kc_max: int = 1024):
+    """(a_hi + a_lo) @ b -> f64, contraction-chunked and sequenced.
+    `a_lo` may be None (plain f32 left operand).  Each chunk promotes
+    only (M, kc) worth of data to f64, so the emulation's split copies
+    stay chunk-sized no matter how big A is."""
+    f64 = jnp.float64
+    kk = a_hi.shape[1]
+    ck = _pick_chunks(kk, kc_max)
+    step = kk // ck
+    if ck == 1:
+        a = a_hi.astype(f64)
+        if a_lo is not None:
+            a = a + a_lo.astype(f64)
+        return a @ b.astype(f64)
+    m = a_hi.shape[0]
+    out = jnp.zeros((m, b.shape[1]), f64)
+    for k in range(ck):
+        dep = _dep_i32(out)
+        k0 = jnp.int32(k * step) + dep
+        ah = jax.lax.dynamic_slice(a_hi, (dep, k0), (m, step))
+        bb = jax.lax.dynamic_slice(b, (k0, dep), (step, b.shape[1]))
+        if a_lo is not None:
+            al = jax.lax.dynamic_slice(a_lo, (dep, k0), (m, step))
+            ah, al, bb = jax.lax.optimization_barrier((ah, al, bb))
+            ac = ah.astype(f64) + al.astype(f64)
+        else:
+            ah, bb = jax.lax.optimization_barrier((ah, bb))
+            ac = ah.astype(f64)
+        out = out + ac @ bb.astype(f64)
+    return out
+
+
+def _f64_dot(a, b, kc_max: int = 1024):
+    """a @ b with an f64 result for a single (f32 or f64) left
+    operand — thin-output products in the tail stages.  Contraction is
+    chunked + sequenced exactly like _pair_dot (an f64 chunk slice
+    needs no cast; an f32 one is promoted chunk-wise)."""
+    if a.shape[0] * a.shape[1] <= 4096 * 4096:
+        return a.astype(jnp.float64) @ b.astype(jnp.float64)
+    return _pair_dot(a, None, b, kc_max)
+
+
+def _mm_f64_chunked(a, b, row_spec, max_chunk: int = 1024):
+    """a @ b in f64 with bounded emulation temps (thin outputs)."""
+    out = _f64_dot(a, b, max_chunk)
     if row_spec is not None:
         out = jax.lax.with_sharding_constraint(out, row_spec)
     return out
@@ -563,42 +601,88 @@ def _mm_f64_chunked(a, b, row_spec, max_chunk: int = 2048):
 
 def _mm_big(a, b):
     """Dot routing: f64-result products with a big left operand go
-    through the chunked f64 product (the v5e emulation's [4, M, K]
-    operand split applies to matvecs and mixed-dtype promotions too);
-    everything else is a plain @."""
+    through the chunk-sequenced f64 product; everything else (and
+    everything on CPU backends, which have native f64) is a plain @."""
     if not ((a.dtype == jnp.float64 or b.dtype == jnp.float64) and _is_big(a)):
         return a @ b
+    if jax.default_backend() == "cpu":
+        return a.astype(jnp.float64) @ b.astype(jnp.float64)
     squeeze = b.ndim == 1
     bb = b[:, None] if squeeze else b
     out = _mm_f64_chunked(a, bb, None)
     return out[:, 0] if squeeze else out
 
 
-def _newton_update_f64(vi, v64, row_spec, max_chunk: int = 2048):
-    """X <- 2X - X V X, column-blocked: the N x N product X V is never
-    materialized (each output column block needs only thin
-    intermediates), which is what keeps the f64 endgame of a 20k-row
-    bivariate inside one chip's HBM."""
-    n = vi.shape[0]
-    cj = _pick_chunks(n, max_chunk)
-    cc = n // cj
+def _newton_cc(n: int) -> int:
+    """Column-block width for the pair Newton update: a divisor of n
+    near 1024 (the f64 column buffers are (n, cc) — 0.17 GB at
+    n=20480 — and one chunk dot's emulation temps are ~68 B * n * kc)."""
+    for cc in (1024, 512, 256, 2048):
+        if n % cc == 0:
+            return cc
+    return _pick_chunks(n, 1024)
 
-    def body(j, out):
-        j0 = (j * cc).astype(jnp.int32)
-        vcol = jax.lax.dynamic_slice(vi, (jnp.int32(0), j0), (n, cc))
-        vcol = jax.lax.optimization_barrier(vcol).astype(jnp.float64)
-        t1 = _mm_f64_chunked(v64, vcol, None, max_chunk)
-        t2 = _mm_f64_chunked(vi, t1, None, max_chunk)
-        return jax.lax.dynamic_update_slice(
-            out, 2.0 * vcol - t2, (jnp.int32(0), j0)
-        )
 
-    out = jax.lax.fori_loop(
-        0, cj, body, jnp.zeros(vi.shape, jnp.float64)
+@partial(jax.jit, static_argnames=("cc", "kc", "has_lo"),
+         donate_argnums=(4, 5))
+def _newton_col_block(x_hi, x_lo, v_hi, v_lo, out_hi, out_lo, j0, cc, kc,
+                      has_lo):
+    """One output-column block of the Newton-Schulz refinement
+    X <- 2X - X V X on hi/lo pair storage, writing columns
+    [j0, j0+cc) of the result into the DONATED out pair
+    (dynamic_update_slice of a donated argument updates in place).
+    Driven from the host by _stage_newton: a fori/while here would
+    copy the captured planes into the loop state.  With pair storage
+    every resident plane is f32 — the full live set is 6 f32 planes
+    (X, V, out) plus chunk-sized f64 temps, which is what fits the
+    20k-row bivariate f64 endgame on a single 16 GB chip."""
+    f64 = jnp.float64
+    nn = x_hi.shape[0]
+    vcol = jax.lax.dynamic_slice(x_hi, (jnp.int32(0), j0), (nn, cc))
+    vcol = jax.lax.optimization_barrier(vcol).astype(f64)
+    if has_lo:
+        vl = jax.lax.dynamic_slice(x_lo, (jnp.int32(0), j0), (nn, cc))
+        vcol = vcol + jax.lax.optimization_barrier(vl).astype(f64)
+    t1 = _pair_dot(v_hi, v_lo, vcol, kc)
+    t1 = jax.lax.optimization_barrier(t1)
+    t2 = _pair_dot(x_hi, x_lo if has_lo else None, t1, kc)
+    blk = 2.0 * vcol - t2
+    bh = blk.astype(jnp.float32)
+    bl = (blk - bh.astype(f64)).astype(jnp.float32)
+    return (
+        jax.lax.dynamic_update_slice(out_hi, bh, (jnp.int32(0), j0)),
+        jax.lax.dynamic_update_slice(out_lo, bl, (jnp.int32(0), j0)),
     )
-    if row_spec is not None:
-        out = jax.lax.with_sharding_constraint(out, row_spec)
-    return out
+
+
+_PAIR_DUMMY_SHAPE = (1, 1)
+
+
+def _stage_newton(x_pair, v_pair, mesh):
+    """X <- 2X - X V X as a host-driven sequence of donated
+    column-block jits over hi/lo pair storage.  x_pair may be
+    (vi32, None) on the first refinement step."""
+    x_hi, x_lo = x_pair
+    v_hi, v_lo = v_pair
+    n = v_hi.shape[0]
+    row_spec = NamedSharding(mesh, P("i", None))
+    cc = _newton_cc(n)
+    kc = _newton_cc(n)
+    zeros = jax.jit(
+        lambda: (jnp.zeros((n, n), jnp.float32),
+                 jnp.zeros((n, n), jnp.float32)),
+        out_shardings=(row_spec, row_spec),
+    )
+    out_hi, out_lo = zeros()
+    has_lo = x_lo is not None
+    if not has_lo:
+        x_lo = jnp.zeros(_PAIR_DUMMY_SHAPE, jnp.float32)
+    for j in range(0, n, cc):
+        out_hi, out_lo = _newton_col_block(
+            x_hi, x_lo, v_hi, v_lo, out_hi, out_lo, jnp.int32(j),
+            cc=cc, kc=kc, has_lo=has_lo,
+        )
+    return out_hi, out_lo
 
 
 @partial(jax.jit, static_argnames=("mesh", "block"))
@@ -613,31 +697,99 @@ def _stage_assemble64(sc, theta, pad_diag, mesh, block):
     )
 
 
+@jax.jit
+def _stage_split(v64):
+    """Full-plane f64 -> (hi, lo) f32 pair, row-chunked + sequenced
+    (peak: v64 + hi + lo + one chunk's temps)."""
+    n = v64.shape[0]
+    rc = _pick_chunks(n, 2048)
+    step = n // rc
+    hi = jnp.zeros(v64.shape, jnp.float32)
+    lo = jnp.zeros(v64.shape, jnp.float32)
+    for k in range(rc):
+        dep = _dep_i32(hi)
+        k0 = jnp.int32(k * step) + dep
+        blk = jax.lax.dynamic_slice(v64, (k0, dep), (step, v64.shape[1]))
+        blk = jax.lax.optimization_barrier(blk)
+        bh, bl = _split_f64(blk)
+        hi = jax.lax.dynamic_update_slice(hi, bh, (k0, jnp.int32(0)))
+        lo = jax.lax.dynamic_update_slice(lo, bl, (k0, jnp.int32(0)))
+    return hi, lo
+
+
 @partial(jax.jit, static_argnames=("mesh", "block"))
-def _stage_inverse32(v64, mesh, block):
+def _stage_inverse32(v_hi, mesh, block):
     return spd_inverse_logdet_presharded(
-        v64.astype(jnp.float32), mesh, "i", block
+        v_hi.astype(jnp.float32), mesh, "i", block
     )
 
 
-@jax.jit
-def _stage_tr(a, b):
-    return _tr_prod(a, b)
+@partial(jax.jit, static_argnames=("has_alo",))
+def _stage_tr_pair(a_hi, a_lo, b_hi, b_lo, has_alo):
+    """tr((A_hi+A_lo) (B_hi+B_lo)) elementwise in f64, row-chunked +
+    sequenced.  a_lo is a dummy when has_alo=False (the fp32 inverse
+    before its first refinement)."""
+    f64 = jnp.float64
+    n = a_hi.shape[0]
+    rc = _pick_chunks(n, 2048)
+    step = n // rc
+    acc = jnp.zeros((), f64)
+    for k in range(rc):
+        dep = _dep_i32(acc)
+        k0 = jnp.int32(k * step) + dep
+        ah = jax.lax.dynamic_slice(a_hi, (k0, dep), (step, n))
+        bh = jax.lax.dynamic_slice(b_hi, (k0, dep), (step, n))
+        bl = jax.lax.dynamic_slice(b_lo, (k0, dep), (step, n))
+        if has_alo:
+            al = jax.lax.dynamic_slice(a_lo, (k0, dep), (step, n))
+            ah, al, bh, bl = jax.lax.optimization_barrier((ah, al, bh, bl))
+            af = ah.astype(f64) + al.astype(f64)
+        else:
+            ah, bh, bl = jax.lax.optimization_barrier((ah, bh, bl))
+            af = ah.astype(f64)
+        bf = bh.astype(f64) + bl.astype(f64)
+        acc = acc + jnp.sum(af * bf)
+    return acc
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def _stage_newton(vi, v64, mesh):
-    row_spec = NamedSharding(mesh, P("i", None))
-    return _newton_update_f64(vi, v64, row_spec)
+def _element_traces_pair(sc, w_hi, w_lo):
+    """tr((W_hi+W_lo) M_e^(placed)) for every element -> (E,) f64;
+    cross blocks contribute twice (trace identity, matrix.cpp:3835)."""
+    f64 = jnp.float64
+    off = sc.offsets
+    traces = []
+    for ei in range(sc.n_elements):
+        m = sc.element_matrices[ei]
+        ti, tj = sc.blocks[ei]
+        ri, ci = off[ti], off[tj]
+        if sc.is_diag[ei]:
+            nr = m.shape[0]
+            ar = jnp.arange(nr)
+            wd = (w_hi[ri + ar, ci + ar].astype(f64)
+                  + w_lo[ri + ar, ci + ar].astype(f64))
+            t = jnp.sum(wd * m.astype(f64))
+        else:
+            nr, nc = m.shape
+            t = (_tr_prod_f64(w_hi[ri:ri + nr, ci:ci + nc], m)
+                 + _tr_prod_f64(w_lo[ri:ri + nr, ci:ci + nc], m))
+        traces.append(jnp.where(ti != tj, 2.0, 1.0) * t)
+    return jnp.stack(traces)
 
 
 @partial(jax.jit, static_argnames=("mesh", "block", "use_ml"))
-def _stage_tail(sc, vi, theta, y, x, mesh, block, use_ml):
+def _stage_tail(sc, vi_hi, vi_lo, theta, y, x, mesh, block, use_ml):
     f64 = jnp.float64
     theta = theta.astype(f64)
     y = y.astype(f64)
     x = x.astype(f64)
-    vix = _mm_big(vi, x)
+
+    def vi_mm(z):
+        squeeze = z.ndim == 1
+        zz = z[:, None] if squeeze else z
+        out = _pair_dot(vi_hi, vi_lo, zz)
+        return out[:, 0] if squeeze else out
+
+    vix = vi_mm(x)
     xtvix = x.T @ vix
     lx = jnp.linalg.cholesky(xtvix)  # (c, c): scalar f64 is fine here
     li = jax.lax.linalg.triangular_solve(
@@ -647,12 +799,12 @@ def _stage_tail(sc, vi, theta, y, x, mesh, block, use_ml):
     logdet_x = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lx)))
 
     def apply_p(z):
-        return _mm_big(vi, z) - vix @ (xtvix_i @ (vix.T @ z))
+        return vi_mm(z) - vix @ (xtvix_i @ (vix.T @ z))
 
     py = apply_p(y)
     ytpy = y @ py
     mpy = sc.elements_times_vector(py)
-    tr_vi_e = sc.element_traces_dense(vi)
+    tr_vi_e = _element_traces_pair(sc, vi_hi, vi_lo)
     mw = sc.elements_times_matrix(vix)
     quad_e = jnp.einsum("nc,enk->eck", vix, mw)
     tr_p_full = tr_vi_e - jnp.einsum("ck,eck->e", xtvix_i, quad_e)
@@ -682,44 +834,47 @@ def _stage_tail(sc, vi, theta, y, x, mesh, block, use_ml):
 def _distributed_dense_quantities_mixed(
     sc, theta, y, x, pad_diag, mesh, block, use_ml=False, newton_steps=2,
 ):
-    """float64-quality REML quantities WITHOUT an f64 factorization.
+    """float64-quality REML quantities WITHOUT an f64 factorization —
+    and WITHOUT ever materializing a big f64 array on the device.
 
     TPU has no fast f64 Cholesky (XLA scalarizes it: measured 0.2
-    GFLOP/s on v5e) but emulates f64 MATMULS acceptably — so the f64
-    endgame becomes: factor V in fp32 with the fused blocked kernel,
-    then Newton-Schulz-refine the inverse in f64
+    GFLOP/s on v5e), and its emulated f64 dots materialize ~17 f32
+    copies of each full operand (round-5 AOT measurement), so the f64
+    endgame stores every big matrix as a hi/lo f32 pair (double-float,
+    ~49-bit mantissa): factor V_hi in fp32 with the fused blocked
+    kernel, Newton-Schulz-refine the inverse on pair storage
     (X <- 2X - X V X, error squares per step: (eps32*cond)^(2^k)) with
-    every product column/contraction-blocked (the v5e f64 dot
-    emulation splits full operands into multi-GB [4, M, K] temps), and
-    correct log|V| with tr-series terms computed as chunked
-    elementwise reductions:
-    log det(X0 V) = tr(E) - tr(E^2)/2 + O(||E||^3), tr(E^2) = -tr(E2).
+    f64 arithmetic confined to sequenced chunk-sized casts, and
+    correct log|V| with tr-series terms computed as chunked pair
+    reductions: log det(X0 V) = tr(E) - tr(E^2)/2 + O(||E||^3).
 
-    Runs as SEPARATE host-called jit stages: one monolithic jit kept
-    every stage's output alive simultaneously (measured 18.4 GB at a
-    20k-row bivariate — the buffer assignment does not reuse across
-    stage boundaries), while staging caps the live set at
-    {V64, X_in, X_out} = 6 f32 planes.  Kernels stay resident in fp32
-    (the same f32-rounded model the fp32 phase optimized); chunk-wise
-    casts feed the f64 arithmetic.  This is the TPU-native analog of
-    the reference's fp64-late precision switch (reml.cpp:1673-1724) at
-    sizes where a host-CPU f64 Newton would take hours.
+    Runs as SEPARATE host-called jit stages (one monolithic jit keeps
+    every stage's output alive simultaneously — measured 18.4 GB at a
+    20k-row bivariate).  Peak live set is the Newton stage: 6 f32
+    planes (X, V, out pairs) + chunk temps.  Kernels stay resident in
+    fp32 (the same f32-rounded model the fp32 phase optimized).  This
+    is the TPU-native analog of the reference's fp64-late precision
+    switch (reml.cpp:1673-1724) at sizes where a host-CPU f64 Newton
+    would take hours.
     """
     f64 = jnp.float64
     theta = jnp.asarray(np.asarray(theta, dtype=np.float64))
     v64 = _stage_assemble64(sc, theta, pad_diag, mesh, block)
-    vi32, logdet32 = _stage_inverse32(v64, mesh, block)
     n = v64.shape[0]
-    tr_p1 = _stage_tr(vi32, v64)
-    vi = _stage_newton(vi32, v64, mesh)
+    v_hi, v_lo = _stage_split(v64)
+    del v64
+    vi32, logdet32 = _stage_inverse32(v_hi, mesh, block)
+    dummy = jnp.zeros(_PAIR_DUMMY_SHAPE, jnp.float32)
+    tr_p1 = _stage_tr_pair(vi32, dummy, v_hi, v_lo, has_alo=False)
+    x_hi, x_lo = _stage_newton((vi32, None), (v_hi, v_lo), mesh)
     del vi32
-    tr_p2 = _stage_tr(vi, v64)
+    tr_p2 = _stage_tr_pair(x_hi, x_lo, v_hi, v_lo, has_alo=True)
     # log det(X0 V) = tr(E) - tr(E^2)/2, tr(E^2) = -(tr(X1 V) - n)
     logdet_v = logdet32.astype(f64) + (tr_p1 - n) + 0.5 * (tr_p2 - n)
     for _ in range(max(newton_steps - 1, 0)):
-        vi = _stage_newton(vi, v64, mesh)
-    del v64
-    q = dict(_stage_tail(sc, vi, theta, y, x, mesh, block, use_ml))
+        x_hi, x_lo = _stage_newton((x_hi, x_lo), (v_hi, v_lo), mesh)
+    del v_hi, v_lo
+    q = dict(_stage_tail(sc, x_hi, x_lo, theta, y, x, mesh, block, use_ml))
     q["logdet_v"] = logdet_v
     q["finite"] = q["finite"] & jnp.isfinite(logdet_v)
     return q
@@ -977,17 +1132,22 @@ class DistributedREMLEngine(REMLEngine):
         resident += sum(
             a.size * a.dtype.itemsize for a in (self.y, self.x, self._pad_diag)
         )
-        # fast-pass: Newton argument planes are 3 f64 (n_pad, n_pad)/D
-        # buffers; measured temp overhead is < 1x arguments, so 2x args
-        # + residents under budget cannot fail the probe
-        args_bytes = 3 * 8 * n_pad * n_pad // n_dev
-        if 2 * args_bytes + resident <= budget:
+        # fast-pass: the Newton block's live planes are the X, V and
+        # donated-out hi/lo pairs (6 f32 (n_pad, n_pad)/D buffers) plus
+        # chunk-sized f64 temps, so 1.5x the planes + residents under
+        # budget cannot fail the probe
+        args_bytes = 6 * 4 * n_pad * n_pad // n_dev
+        if 1.5 * args_bytes + resident <= budget:
             return True
         row = NamedSharding(self.mesh, P("i", None))
+        cc = _newton_cc(n_pad)
         with jax.enable_x64():
-            st = jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float64, sharding=row)
+            st = jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32, sharding=row)
+            j0 = jax.ShapeDtypeStruct((), jnp.int32)
             try:
-                compiled = _stage_newton.lower(st, st, mesh=self.mesh).compile()
+                compiled = _newton_col_block.lower(
+                    st, st, st, st, st, st, j0, cc=cc, kc=cc, has_lo=True
+                ).compile()
                 ma = compiled.memory_analysis()
             except Exception as exc:
                 self.log.message(
@@ -999,6 +1159,7 @@ class DistributedREMLEngine(REMLEngine):
             ma.argument_size_in_bytes
             + ma.output_size_in_bytes
             + ma.temp_size_in_bytes
+            - getattr(ma, "alias_size_in_bytes", 0)
         )
         fits = peak + resident <= budget
         self.log.message(
