@@ -1269,13 +1269,28 @@ class DistributedREMLEngine(REMLEngine):
                         (new_theta - theta) / np.where(theta == 0, 1, theta)
                     )
                 ll_diff = log_likelihood - prev_ll
+                # Newton decrement 0.5 g' AI^-1 g: the quadratic-model
+                # logL distance to the optimum, computed from the
+                # accurately-evaluated f64 gradient/AI.  The MEASURED
+                # logL of the pair-mixed endgame carries
+                # fp32-factorization log-det noise (the tr series
+                # corrects log det(X0 V) but the -log det X0 ~ logdet32
+                # identity only holds to fp32 rounding — measured ~0.02
+                # at a 20k-row bivariate), so at big n the reference's
+                # logL window can never fire even at the exact optimum;
+                # the decrement is the same signal without the noise
+                # (cf. the fp32 loop's rel<=threshold/10 acceptance,
+                # engine.py:426-435).
+                decrement = 0.5 * abs(float(grad @ delta))
                 theta = new_theta
                 self.log.message(
                     f"  f64d logL {log_likelihood:.6f}  "
                     + " ".join(f"{t:.6g}" for t in theta)
                 )
                 if bool(np.all(rel <= var_threshold)) and (
-                    -1e-2 < ll_diff < 1e-4 or prev_ll == -np.inf
+                    -1e-2 < ll_diff < 1e-4
+                    or prev_ll == -np.inf
+                    or decrement < 1e-4
                 ):
                     converged = True
                     break
