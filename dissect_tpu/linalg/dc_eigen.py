@@ -143,6 +143,15 @@ def _sign_padded(x, coeffs_arr, mesh, axis, block, ns_iters):
     return x
 
 
+@jax.jit
+def _shift_diag(a, sigma):
+    """a - sigma*I with the identity fused into the subtraction (an
+    eager jnp.eye materializes a full plane per recursion level)."""
+    m = a.shape[0]
+    di = jnp.arange(m)
+    return a.at[di, di].add(-sigma)
+
+
 def pick_sign_block(n: int, n_devices: int, requested: Optional[int] = None) -> int:
     """Cholesky panel width for the sign iterations' SPD solves.
 
@@ -463,7 +472,6 @@ def distributed_eigh(
         # magnitude, so a probe discriminates just as reliably
         eps = float(jnp.finfo(a_sub.dtype).eps)
         inv_tol = 100.0 * math.sqrt(eps)
-        eye = jnp.eye(m, dtype=a_sub.dtype)
         probes = jnp.asarray(
             rng.standard_normal((m, 4)) / math.sqrt(m), a_sub.dtype
         )
@@ -490,6 +498,9 @@ def distributed_eigh(
                     continue
                 split = (us[i], k)
                 break
+            # the stacked (4, m, m) candidate buffer would otherwise
+            # stay pinned through the whole subtree below
+            del us
         else:
             # beyond one device's memory: sharded sign iterations, one
             # candidate at a time (one RTT each; the m^3 work dwarfs it)
@@ -506,7 +517,13 @@ def distributed_eigh(
                 ):
                     candidates.append(s)
             for sigma in candidates:
-                u = matrix_sign(a_sub - sigma * eye, mesh, axis, block, l0)
+                # the diagonal shift runs jitted so the identity fuses
+                # into the subtraction — an eager jnp.eye(m) is a full
+                # extra plane of HBM at every recursion level
+                u = matrix_sign(
+                    _shift_diag(a_sub, jnp.asarray(sigma, a_sub.dtype)),
+                    mesh, axis, block, l0,
+                )
                 tr_dev = jnp.trace(u)
                 err_dev = jnp.linalg.norm(
                     u @ (u @ probes) - probes
@@ -533,8 +550,15 @@ def distributed_eigh(
         )
         if not bool(jax.device_get(fin)):
             return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
+        # free the parent operand, sign matrix and probes BEFORE
+        # recursing: python frame locals otherwise pin two full planes
+        # per recursion level for the whole subtree (the n=16384 v5e
+        # run OOMed exactly here)
+        del a_sub, u, split, probes, coeffs
         w1, v1 = rec(a1, depth + 1)
+        del a1
         w2, v2 = rec(a2, depth + 1)
+        del a2
         return _combine(q1, q2, w1, v1, w2, v2)
 
     with jax.default_matmul_precision("highest"):
