@@ -152,6 +152,33 @@ def _shift_diag(a, sigma):
     return a.at[di, di].add(-sigma)
 
 
+# Measured on the v5e AOT compiler: the vmapped 4-candidate
+# _batched_split program peaks at ~121 f32 planes of m^2 at m=8192
+# (32.5 GB — a guaranteed runtime kill on a 16 GB chip) and ~70 planes
+# at m=4096 (4.7 GB — fine).  One fused dispatch per split only pays
+# off when it fits, so mid-size subproblems of a big solve route to
+# the one-candidate-at-a-time sharded branch instead.
+_BATCHED_PLANES = 130
+
+
+def _batched_fits(a_sub, m: int) -> bool:
+    try:
+        dev = a_sub.devices().pop()
+    except Exception:
+        return True
+    if dev.platform == "cpu":
+        return True  # host RAM; the CPU-mesh tests batch at toy sizes
+    limit = None
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    budget = 0.95 * float(limit or 16e9)
+    return _BATCHED_PLANES * m * m * a_sub.dtype.itemsize <= budget
+
+
 def pick_sign_block(n: int, n_devices: int, requested: Optional[int] = None) -> int:
     """Cholesky panel width for the sign iterations' SPD solves.
 
@@ -480,7 +507,7 @@ def distributed_eigh(
             dtype=a_sub.dtype,
         )
         split = None
-        if m <= batch_threshold:
+        if m <= batch_threshold and _batched_fits(a_sub, m):
             # one device program for ALL candidates, one host fetch
             us, trs, errs = _batched_split(a_sub, probes, coeffs, 2)
             trs_h, errs_h = (
