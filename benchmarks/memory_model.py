@@ -158,7 +158,7 @@ def _analyze_worker(
 
 
 def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int,
-                checkpoint: str = ""):
+                checkpoint: str = "", refine_steps: int = 8):
     _force_cpu()
     import os
     import resource
@@ -193,8 +193,13 @@ def _run_worker(n: int, n_devices: int, max_iter: int, pca_k: int,
         [k], ["GRM"], [float(np.var(y, ddof=1))], [0.5]
     )
     refine = os.environ.get("MEMMODEL_NO_REFINE", "") != "1"
+    # enough float64 Newton steps to actually CONVERGE in f64 at big n
+    # (the default 2-step polish left theta moving 4.6%/step at n=16k:
+    # fp32 trace noise biases the fp32 optimum there) — the loop still
+    # breaks early on the convergence window / Newton decrement
     opts = REMLOptions(max_iterations=max_iter, float64_refine=refine,
-                      float64_refine_max_n=n + 1)
+                      float64_refine_max_n=n + 1,
+                      float64_refine_steps=refine_steps)
     eng = DistributedREMLEngine(model, y, x, mesh, opts)
     # --checkpoint: per-iteration REMLCheckpoint (runtime/checkpoint.py)
     # so a watchdog-killed long window RESUMES from its last Newton step
