@@ -154,11 +154,14 @@ def _shift_diag(a, sigma):
 
 # Measured on the v5e AOT compiler: the vmapped 4-candidate
 # _batched_split program peaks at ~121 f32 planes of m^2 at m=8192
-# (32.5 GB — a guaranteed runtime kill on a 16 GB chip) and ~70 planes
-# at m=4096 (4.7 GB — fine).  One fused dispatch per split only pays
-# off when it fits, so mid-size subproblems of a big solve route to
-# the one-candidate-at-a-time sharded branch instead.
-_BATCHED_PLANES = 130
+# (32.5 GB — a guaranteed runtime kill on a 16 GB chip), ~190 planes
+# at a ~5.4k uneven split (padding), ~70 planes at m=4096 (4.7 GB —
+# fine).  One fused dispatch per split only pays off when it fits, so
+# mid-size subproblems of a big solve route to the
+# one-candidate-at-a-time sharded branch instead; the constant here is
+# a conservative pre-gate and a compile-time HBM rejection of the
+# batched program falls through to the sequential branch anyway.
+_BATCHED_PLANES = 200
 
 
 def _batched_fits(a_sub, m: int) -> bool:
@@ -507,9 +510,17 @@ def distributed_eigh(
             dtype=a_sub.dtype,
         )
         split = None
-        if m <= batch_threshold and _batched_fits(a_sub, m):
+        batched_ok = m <= batch_threshold and _batched_fits(a_sub, m)
+        if batched_ok:
             # one device program for ALL candidates, one host fetch
-            us, trs, errs = _batched_split(a_sub, probes, coeffs, 2)
+            try:
+                us, trs, errs = _batched_split(a_sub, probes, coeffs, 2)
+            except jax.errors.JaxRuntimeError:
+                # compile-time HBM rejection (the batched program's
+                # footprint is shape/padding dependent): fall through
+                # to the sequential sharded branch
+                batched_ok = False
+        if batched_ok:
             trs_h, errs_h = (
                 np.asarray(v, np.float64)
                 for v in jax.device_get((trs, errs))
