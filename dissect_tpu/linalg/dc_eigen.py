@@ -290,6 +290,130 @@ def _cholqr2_body(y, spec):
     return y
 
 
+# Above this column count, the spectral-split basis is orthonormalized
+# with a HOST float64 Gram Cholesky instead of pure fp32 CholeskyQR2.
+# The split samples EXACTLY k Gaussian probes from a rank-k projector,
+# so the basis is square-Gaussian-conditioned (kappa ~ 2k): at k~2048
+# fp32 CholeskyQR2 still works, by k~6000 the fp32 Gram's smallest
+# eigenvalues are pure rounding noise and the Cholesky NaNs (n=10240)
+# or silently produces a deficient basis that loses ~2% of the trace
+# (n=16384, both measured round 5).  The f64 Gram is accumulated on
+# device with the chunk-sequenced emulated dot; only the (k, k) Gram
+# crosses to the host.
+_HOST_QR_K = 2560
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _gram_f64(y, spec=None):
+    """y^T y accumulated in f64, row-chunk-sequenced (an fp32 Gram of
+    a cond~2k basis cannot resolve its smallest eigenvalues; a full
+    f64 cast of y would cost an extra operand-size buffer)."""
+    f64 = jnp.float64
+    m, k = y.shape
+    step = 2048
+    n_chunks = -(-m // step)
+    pad = n_chunks * step - m
+    y_pad = jnp.pad(y, ((0, pad), (0, 0))) if pad else y
+    out = jnp.zeros((k, k), f64)
+    for c in range(n_chunks):
+        dep = jax.lax.convert_element_type(out[0, 0] * 0, jnp.int32)
+        blk = jax.lax.dynamic_slice(
+            y_pad, (jnp.int32(c * step) + dep, dep), (step, k)
+        )
+        blk = jax.lax.optimization_barrier(blk).astype(f64)
+        out = out + blk.T @ blk
+    return out
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _solve_and_polish(y, r, spec=None):
+    """y R^{-T} (R from the host f64 Cholesky, cast to y's dtype) then
+    two standard CholeskyQR rounds: after the f64-informed first pass
+    the basis condition is ~1 + eps*kappa(R), well inside fp32
+    CholeskyQR territory."""
+    with jax.default_matmul_precision("highest"):
+        y = _tri_solve_right(r, y)
+        if spec is not None:
+            y = jax.lax.with_sharding_constraint(y, spec)
+        return _cholqr2_body(y, spec)
+
+
+def _orthonormalize(y, spec=None):
+    """Orthonormal basis of range(y): fused fp32 CholeskyQR2 below
+    _HOST_QR_K columns, host-f64-Gram-assisted above."""
+    k = y.shape[1]
+    if k <= _HOST_QR_K:
+        return _cholqr2(y, spec)
+    gram = _gram_f64(y, spec)
+    g = np.asarray(jax.device_get(gram), np.float64)
+    g = 0.5 * (g + g.T)
+    base = float(np.trace(g)) / max(k, 1)
+    r = None
+    for jit_eps in (0.0, 1e-12, 1e-9, 1e-6):
+        try:
+            r = np.linalg.cholesky(g + (jit_eps * base) * np.eye(k))
+            break
+        except np.linalg.LinAlgError:
+            continue
+    if r is None:
+        raise RuntimeError(
+            "host f64 Gram Cholesky failed for the spectral-split basis"
+        )
+    return _solve_and_polish(y, jnp.asarray(r, y.dtype), spec)
+
+
+@partial(jax.jit, static_argnames=("k", "spec"))
+def _project_probes(a_sub, u, seed, k, spec=None):
+    """The probe-projection half of _split_apply, split out so the
+    big-k path can interleave the host-assisted orthonormalization."""
+    m = a_sub.shape[0]
+    key1, key2 = jax.random.split(jax.random.PRNGKey(seed))
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.random.normal(key1, (m, k), dtype=a_sub.dtype)
+        g2 = jax.random.normal(key2, (m, m - k), dtype=a_sub.dtype)
+        y1 = 0.5 * (g1 - u @ g1)
+        y2 = 0.5 * (g2 + u @ g2)
+    if spec is not None:
+        y1 = jax.lax.with_sharding_constraint(y1, spec)
+        y2 = jax.lax.with_sharding_constraint(y2, spec)
+    return y1, y2
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _rayleigh(a_sub, q1, q2, spec=None):
+    """The Rayleigh-quotient tail of _split_apply."""
+    k = q1.shape[1]
+    with jax.default_matmul_precision("highest"):
+        aq = a_sub @ jnp.concatenate([q1, q2], axis=1)
+        a1 = q1.T @ aq[:, :k]
+        a2 = q2.T @ aq[:, k:]
+        a1 = 0.5 * (a1 + a1.T)
+        a2 = 0.5 * (a2 + a2.T)
+    if spec is not None:
+        if a1.shape[0] % spec.mesh.shape["i"] == 0:
+            a1 = jax.lax.with_sharding_constraint(a1, spec)
+        if a2.shape[0] % spec.mesh.shape["i"] == 0:
+            a2 = jax.lax.with_sharding_constraint(a2, spec)
+    fin = jnp.all(jnp.isfinite(a1)) & jnp.all(jnp.isfinite(a2))
+    return a1, a2, fin
+
+
+def _split_apply_any(a_sub, u, seed, k, spec=None):
+    """_split_apply, routed: one fused jit when both basis widths are
+    fp32-CholeskyQR-safe, else staged with host-f64-assisted
+    orthonormalization (big spectral splits)."""
+    m = a_sub.shape[0]
+    if max(k, m - k) <= _HOST_QR_K:
+        return _split_apply(a_sub, u, seed, k, spec)
+    y1, y2 = _project_probes(a_sub, u, seed, k, spec)
+    q1 = _orthonormalize(y1, spec)
+    del y1
+    q2 = _orthonormalize(y2, spec)
+    del y2
+    a1, a2, fin = _rayleigh(a_sub, q1, q2, spec)
+    return q1, q2, a1, a2, fin
+
+
 def _subspace_basis(proj, k, rng, spec=None):
     """Orthonormal basis (n, k) of the range of a rank-k projector.
 
@@ -583,7 +707,7 @@ def distributed_eigh(
         # ONE jitted dispatch per split (remote-tunnel friendly); stays
         # row-sharded when the row count divides the mesh
         basis_spec = spec if m % n_dev == 0 else None
-        q1, q2, a1, a2, fin = _split_apply(
+        q1, q2, a1, a2, fin = _split_apply_any(
             a_sub, u, int(rng.integers(1 << 31)), k, basis_spec
         )
         if not bool(jax.device_get(fin)):

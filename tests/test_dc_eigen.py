@@ -164,3 +164,29 @@ class TestIntegration:
         for j in range(5):
             c = np.dot(p_mesh.eigenvectors[:, j], p_local.eigenvectors[:, j])
             np.testing.assert_allclose(abs(c), 1.0, atol=1e-8)
+
+
+class TestBigKOrthonormalize:
+    def test_host_assisted_cholqr_on_square_gaussian_conditioning(self, rng):
+        """The spectral split samples EXACTLY k probes from a rank-k
+        projector, so the basis is square-Gaussian-conditioned
+        (kappa ~ 2k); by k~6000 fp32 CholeskyQR2's Gram is singular at
+        working precision (measured on v5e round 5: NaN basis at
+        n=10240, 1.7% trace loss at n=16384).  The big-k path must
+        produce an orthonormal basis anyway via the host f64 Gram
+        Cholesky.  Simulated here with an explicitly ill-conditioned
+        tall fp32 operand above the _HOST_QR_K routing threshold."""
+        from dissect_tpu.linalg.dc_eigen import _HOST_QR_K, _orthonormalize
+
+        m, k = 2 * _HOST_QR_K + 512, _HOST_QR_K + 256
+        q_left, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        sv = np.logspace(0, -5.5, k)  # cond ~ 3e5: fp32 Gram noise floor
+        y = (q_left * sv[None, :]).astype(np.float32)
+        q = np.asarray(_orthonormalize(jnp.asarray(y)))
+        assert np.isfinite(q).all()
+        np.testing.assert_allclose(
+            q.T @ q, np.eye(k, dtype=np.float64), atol=5e-5
+        )
+        # same span as y: projecting y onto q loses nothing
+        resid = y - q @ (q.T @ y)
+        assert np.linalg.norm(resid) / np.linalg.norm(y) < 1e-3
