@@ -344,8 +344,12 @@ def _orthonormalize(y, spec=None):
     k = y.shape[1]
     if k <= _HOST_QR_K:
         return _cholqr2(y, spec)
-    gram = _gram_f64(y, spec)
-    g = np.asarray(jax.device_get(gram), np.float64)
+    with jax.enable_x64():
+        # scope x64 locally: callers (PCA, kernel diagonalization) run
+        # f32 pipelines — without this the "f64" Gram silently
+        # truncates to f32, which is exactly the failure being fixed
+        gram = _gram_f64(y, spec)
+        g = np.asarray(jax.device_get(gram), np.float64)
     g = 0.5 * (g + g.T)
     base = float(np.trace(g)) / max(k, 1)
     r = None

@@ -182,7 +182,10 @@ class TestBigKOrthonormalize:
         q_left, _ = np.linalg.qr(rng.standard_normal((m, k)))
         sv = np.logspace(0, -5.5, k)  # cond ~ 3e5: fp32 Gram noise floor
         y = (q_left * sv[None, :]).astype(np.float32)
-        q = np.asarray(_orthonormalize(jnp.asarray(y)))
+        # production callers (PCA, kernel diagonalization) run WITHOUT
+        # x64 — the Gram must not silently truncate to f32 there
+        with jax.enable_x64(False):
+            q = np.asarray(_orthonormalize(jnp.asarray(y)))
         assert np.isfinite(q).all()
         np.testing.assert_allclose(
             q.T @ q, np.eye(k, dtype=np.float64), atol=5e-5
