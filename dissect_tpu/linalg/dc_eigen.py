@@ -38,6 +38,7 @@ the gap at the split point, not the full spectrum conditioning.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -338,12 +339,17 @@ def _solve_and_polish(y, r, spec=None):
         return _cholqr2_body(y, spec)
 
 
-def _orthonormalize(y, spec=None):
-    """Orthonormal basis of range(y): fused fp32 CholeskyQR2 below
-    _HOST_QR_K columns, host-f64-Gram-assisted above."""
+def _orthonormalize(y, spec=None, force_host=False):
+    """Orthonormal basis of range(y): fp32 CholeskyQR2 below
+    _HOST_QR_K columns (verified, retried host-assisted on failure —
+    the square-Gaussian basis's condition has a heavy tail so no fixed
+    width is always safe), host-f64-Gram-assisted above."""
     k = y.shape[1]
-    if k <= _HOST_QR_K:
-        return _cholqr2(y, spec)
+    if not force_host and k <= _HOST_QR_K:
+        q = _cholqr2(y, spec)
+        err = float(np.asarray(jax.device_get(_ortho_err(q))))
+        if math.isfinite(err) and err <= 1e-3:
+            return q
     with jax.enable_x64():
         # scope x64 locally: callers (PCA, kernel diagonalization) run
         # f32 pipelines — without this the "f64" Gram silently
@@ -404,34 +410,26 @@ def _rayleigh(a_sub, q1, q2, spec=None):
 
 def _split_apply_any(a_sub, u, seed, k, spec=None):
     """_split_apply, routed: one fused jit when both basis widths are
-    fp32-CholeskyQR-safe, else staged with host-f64-assisted
-    orthonormalization (big spectral splits)."""
+    likely fp32-CholeskyQR-safe — VERIFIED via the orthonormality
+    error that rides in the same fetch as the finiteness flag — else
+    (or on a failed check) staged with host-f64-assisted
+    orthonormalization."""
     m = a_sub.shape[0]
+    force_host = False
     if max(k, m - k) <= _HOST_QR_K:
-        return _split_apply(a_sub, u, seed, k, spec)
+        q1, q2, a1, a2, fin, oerr = _split_apply(a_sub, u, seed, k, spec)
+        fin_h, oerr_h = map(float, jax.device_get((fin, oerr)))
+        if math.isfinite(oerr_h) and oerr_h <= 1e-3:
+            return q1, q2, a1, a2, bool(fin_h)
+        del q1, q2, a1, a2
+        force_host = True  # silent fp32 CholeskyQR corruption: redo
     y1, y2 = _project_probes(a_sub, u, seed, k, spec)
-    q1 = _orthonormalize(y1, spec)
+    q1 = _orthonormalize(y1, spec, force_host=force_host)
     del y1
-    q2 = _orthonormalize(y2, spec)
+    q2 = _orthonormalize(y2, spec, force_host=force_host)
     del y2
     a1, a2, fin = _rayleigh(a_sub, q1, q2, spec)
-    return q1, q2, a1, a2, fin
-
-
-def _subspace_basis(proj, k, rng, spec=None):
-    """Orthonormal basis (n, k) of the range of a rank-k projector.
-
-    Randomized range finding: proj is row-sharded (it came out of the
-    sharded sign iteration), the Gaussian probe replicates (n x k is
-    small), and the product + CholeskyQR2 stay sharded on the n axis."""
-    n = proj.shape[0]
-    g = jnp.asarray(
-        rng.standard_normal((n, k)), dtype=proj.dtype
-    )
-    y = proj @ g
-    if spec is not None:
-        y = jax.lax.with_sharding_constraint(y, spec)
-    return _cholqr2(y, spec)
+    return q1, q2, a1, a2, bool(jax.device_get(fin))
 
 
 @partial(jax.jit, static_argnames=("k", "spec"))
@@ -470,7 +468,25 @@ def _split_apply(a_sub, u, seed, k, spec=None):
             if a2.shape[0] % spec.mesh.shape["i"] == 0:
                 a2 = jax.lax.with_sharding_constraint(a2, spec)
         fin = jnp.all(jnp.isfinite(a1)) & jnp.all(jnp.isfinite(a2))
-    return q1, q2, a1, a2, fin
+        # orthonormality self-check rides along in the SAME fetch: a
+        # square-Gaussian basis's smallest singular value has a heavy
+        # tail, so fp32 CholeskyQR2 can silently produce a deficient
+        # basis at any width (measured: a k=2450 side of an n=16384
+        # solve leaked 225 of trace mass while fin stayed True)
+        oerr = jnp.maximum(_ortho_err_val(q1), _ortho_err_val(q2))
+    return q1, q2, a1, a2, fin, oerr
+
+
+def _ortho_err_val(q):
+    k = q.shape[1]
+    g = q.T @ q
+    return jnp.linalg.norm(g - jnp.eye(k, dtype=q.dtype)) / math.sqrt(k)
+
+
+@jax.jit
+def _ortho_err(q):
+    with jax.default_matmul_precision("highest"):
+        return _ortho_err_val(q)
 
 
 @jax.jit
@@ -716,6 +732,13 @@ def distributed_eigh(
         )
         if not bool(jax.device_get(fin)):
             return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
+        if os.environ.get("DISSECT_TPU_DC_DEBUG"):
+            tp, t1, t2 = map(float, jax.device_get(
+                (jnp.trace(a_sub), jnp.trace(a1), jnp.trace(a2))
+            ))
+            print(f"    dc-split m={m} k={k} tr(parent)={tp:.3f} "
+                  f"tr(kids)={t1 + t2:.3f} leak={tp - t1 - t2:+.3f}",
+                  flush=True)
         # free the parent operand, sign matrix and probes BEFORE
         # recursing: python frame locals otherwise pin two full planes
         # per recursion level for the whole subtree (the n=16384 v5e
