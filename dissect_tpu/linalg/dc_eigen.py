@@ -391,7 +391,8 @@ def _project_probes(a_sub, u, seed, k, spec=None):
 
 @partial(jax.jit, static_argnames=("spec",))
 def _rayleigh(a_sub, q1, q2, spec=None):
-    """The Rayleigh-quotient tail of _split_apply."""
+    """The Rayleigh-quotient tail of _split_apply, with the same
+    finiteness + trace-leak checks."""
     k = q1.shape[1]
     with jax.default_matmul_precision("highest"):
         aq = a_sub @ jnp.concatenate([q1, q2], axis=1)
@@ -405,22 +406,36 @@ def _rayleigh(a_sub, q1, q2, spec=None):
         if a2.shape[0] % spec.mesh.shape["i"] == 0:
             a2 = jax.lax.with_sharding_constraint(a2, spec)
     fin = jnp.all(jnp.isfinite(a1)) & jnp.all(jnp.isfinite(a2))
-    return a1, a2, fin
+    tr_p = jnp.trace(a_sub)
+    tleak = jnp.abs(tr_p - jnp.trace(a1) - jnp.trace(a2)) / (
+        1.0 + jnp.abs(tr_p)
+    )
+    return a1, a2, fin, tleak
 
 
 def _split_apply_any(a_sub, u, seed, k, spec=None):
     """_split_apply, routed: one fused jit when both basis widths are
-    likely fp32-CholeskyQR-safe — VERIFIED via the orthonormality
-    error that rides in the same fetch as the finiteness flag — else
-    (or on a failed check) staged with host-f64-assisted
-    orthonormalization."""
+    likely fp32-CholeskyQR-safe — VERIFIED via the orthonormality and
+    trace-leak checks that ride in the same fetch as the finiteness
+    flag — else (or on a failed ortho check) staged with
+    host-f64-assisted orthonormalization.
+
+    Returns (q1, q2, a1, a2, ok, tleak): `ok` is the fetched
+    finiteness flag, `tleak` the relative trace leak
+    |tr(A) - tr(A1) - tr(A2)| / (1 + |tr(A)|) — the caller retries
+    the split (fresh probes) or falls back when it is non-negligible,
+    because a leak means eigenvalue mass will be silently lost."""
     m = a_sub.shape[0]
     force_host = False
     if max(k, m - k) <= _HOST_QR_K:
-        q1, q2, a1, a2, fin, oerr = _split_apply(a_sub, u, seed, k, spec)
-        fin_h, oerr_h = map(float, jax.device_get((fin, oerr)))
+        q1, q2, a1, a2, fin, oerr, tleak = _split_apply(
+            a_sub, u, seed, k, spec
+        )
+        fin_h, oerr_h, tleak_h = map(
+            float, jax.device_get((fin, oerr, tleak))
+        )
         if math.isfinite(oerr_h) and oerr_h <= 1e-3:
-            return q1, q2, a1, a2, bool(fin_h)
+            return q1, q2, a1, a2, bool(fin_h), tleak_h
         del q1, q2, a1, a2
         force_host = True  # silent fp32 CholeskyQR corruption: redo
     y1, y2 = _project_probes(a_sub, u, seed, k, spec)
@@ -428,8 +443,9 @@ def _split_apply_any(a_sub, u, seed, k, spec=None):
     del y1
     q2 = _orthonormalize(y2, spec, force_host=force_host)
     del y2
-    a1, a2, fin = _rayleigh(a_sub, q1, q2, spec)
-    return q1, q2, a1, a2, bool(jax.device_get(fin))
+    a1, a2, fin, tleak = _rayleigh(a_sub, q1, q2, spec)
+    fin_h, tleak_h = map(float, jax.device_get((fin, tleak)))
+    return q1, q2, a1, a2, bool(fin_h), tleak_h
 
 
 @partial(jax.jit, static_argnames=("k", "spec"))
@@ -468,13 +484,21 @@ def _split_apply(a_sub, u, seed, k, spec=None):
             if a2.shape[0] % spec.mesh.shape["i"] == 0:
                 a2 = jax.lax.with_sharding_constraint(a2, spec)
         fin = jnp.all(jnp.isfinite(a1)) & jnp.all(jnp.isfinite(a2))
-        # orthonormality self-check rides along in the SAME fetch: a
-        # square-Gaussian basis's smallest singular value has a heavy
-        # tail, so fp32 CholeskyQR2 can silently produce a deficient
-        # basis at any width (measured: a k=2450 side of an n=16384
-        # solve leaked 225 of trace mass while fin stayed True)
+        # two self-checks ride along in the SAME fetch:
+        # - orthonormality error: fp32 CholeskyQR2 on a heavy-tailed
+        #   square-Gaussian basis can NaN or drift;
+        # - TRACE LEAK tr(A) vs tr(A1)+tr(A2): a basis can be
+        #   perfectly orthonormal yet range-deficient (amplified
+        #   rounding directions outside the projector subspace when
+        #   the probe count mismatches the true subspace dimension) —
+        #   measured: a k=2450 side of an n=16384 solve leaked 225 of
+        #   trace mass while both fin and the ortho check stayed green
         oerr = jnp.maximum(_ortho_err_val(q1), _ortho_err_val(q2))
-    return q1, q2, a1, a2, fin, oerr
+        tr_p = jnp.trace(a_sub)
+        tleak = jnp.abs(tr_p - jnp.trace(a1) - jnp.trace(a2)) / (
+            1.0 + jnp.abs(tr_p)
+        )
+    return q1, q2, a1, a2, fin, oerr, tleak
 
 
 def _ortho_err_val(q):
@@ -571,9 +595,20 @@ def _base_eigh(a_sub):
     compile (or a giant cache-entry load through a remote runtime) per
     leaf.  Host LAPACK at these sizes is faster end-to-end; the knob
     DISSECT_TPU_HOST_EIGH_MAX restores the device leaves on hardware
-    where executable loads are local."""
+    where executable loads are local.
+
+    Beyond-cap fallbacks (a failed split at m > 8192) go to host
+    LAPACK too on accelerators: XLA's unrolled device eigh at m=10240+
+    is compile-REJECTED for HBM (33.5 GB at 16384), so 'slow but
+    correct minutes on the host' is the only refuge that exists."""
     from dissect_tpu.linalg.eigen import eigh_full
 
+    n = a_sub.shape[0]
+    if n > 8192 and jax.default_backend() != "cpu":
+        w, v = np.linalg.eigh(
+            np.asarray(jax.device_get(a_sub), dtype=np.float64)
+        )
+        return jnp.asarray(w, a_sub.dtype), jnp.asarray(v, a_sub.dtype)
     return eigh_full(a_sub)
 
 
@@ -727,18 +762,30 @@ def distributed_eigh(
         # ONE jitted dispatch per split (remote-tunnel friendly); stays
         # row-sharded when the row count divides the mesh
         basis_spec = spec if m % n_dev == 0 else None
-        q1, q2, a1, a2, fin = _split_apply_any(
-            a_sub, u, int(rng.integers(1 << 31)), k, basis_spec
-        )
-        if not bool(jax.device_get(fin)):
+        # trace-leak guard: a split whose children's traces do not sum
+        # to the parent's is silently LOSING eigenvalue mass (wrong
+        # probe count vs the true subspace dimension, or an unlucky
+        # basis draw).  Retry once with fresh probes; a persistent
+        # leak means k itself is off — fall back to a local solve.
+        ok = False
+        tleak = math.inf
+        for attempt in range(2):
+            q1, q2, a1, a2, ok, tleak = _split_apply_any(
+                a_sub, u, int(rng.integers(1 << 31)), k, basis_spec
+            )
+            if os.environ.get("DISSECT_TPU_DC_DEBUG"):
+                print(f"    dc-split m={m} k={k} attempt={attempt} "
+                      f"ok={ok} tleak={tleak:.2e}", flush=True)
+            if ok and tleak <= 1e-3:
+                break
+        if not ok:
             return local_or_raise(a_sub, depth, "non-finite Rayleigh quotient")
-        if os.environ.get("DISSECT_TPU_DC_DEBUG"):
-            tp, t1, t2 = map(float, jax.device_get(
-                (jnp.trace(a_sub), jnp.trace(a1), jnp.trace(a2))
-            ))
-            print(f"    dc-split m={m} k={k} tr(parent)={tp:.3f} "
-                  f"tr(kids)={t1 + t2:.3f} leak={tp - t1 - t2:+.3f}",
-                  flush=True)
+        if tleak > 1e-3:
+            return local_or_raise(
+                a_sub, depth,
+                f"trace leak {tleak:.2e} after basis retry (split rank "
+                "mismatch)",
+            )
         # free the parent operand, sign matrix and probes BEFORE
         # recursing: python frame locals otherwise pin two full planes
         # per recursion level for the whole subtree (the n=16384 v5e
